@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Render a trained model along a test pose path (parity with /root/reference/eval.py).
+
+Produces results/{dataset}/{scene}/NNN.png frames, optional PFM/byte depth
+dumps, a {scene}.gif at --gif_fps, and per-frame + mean PSNR when GT images
+are available. The model configuration is loaded from the config JSON saved
+next to the checkpoint (no drifted flag re-typing, unlike the reference's
+eval.py:20-74), with CLI flags as fallback/overrides.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def main():
+    from hypernerf_tpu.opt import configs_from_args, get_opts
+    args = get_opts(eval_mode=True)
+
+    import numpy as np
+
+    from hypernerf_tpu.configs import NerfConfig
+    from hypernerf_tpu.datasets import dataset_dict
+    from hypernerf_tpu.datasets.depth_io import save_pfm
+    from hypernerf_tpu.models.nerf import NerfModel
+    from hypernerf_tpu.training import checkpoints as ckpt_lib
+    from hypernerf_tpu.training import metrics
+    from hypernerf_tpu.training.renderer import ImageRenderer
+    from hypernerf_tpu.utils.visualization import to_uint8
+
+    w, h = args.img_wh
+
+    # Resolve the model config: prefer the JSON serialized at train time.
+    nerf_cfg, _ = configs_from_args(args)
+    ckpt_path = args.ckpt_path or args.weight_path
+    if ckpt_path:
+        cfg_json = os.path.join(os.path.dirname(os.path.abspath(ckpt_path)),
+                                'nerf_config.json')
+        if os.path.exists(cfg_json):
+            with open(cfg_json) as f:
+                nerf_cfg = NerfConfig.from_json(f.read())
+
+    kwargs = dict(root_dir=args.root_dir, split=args.split,
+                  img_wh=tuple(args.img_wh),
+                  include_idx=args.use_nerfies_meta)
+    if args.dataset_name == 'llff':
+        kwargs['spheric_poses'] = args.spheric_poses
+    dataset = dataset_dict[args.dataset_name](**kwargs)
+
+    model = NerfModel(nerf_cfg)
+    import jax
+    rng = jax.random.PRNGKey(0)
+    sample_rays = dataset[0]['rays'][:8]
+    from hypernerf_tpu.ops.ray_dict import prepare_ray_dict
+    variables = model.init({'params': rng, 'sampling': rng,
+                            'sigma_noise': rng},
+                           prepare_ray_dict(jax.numpy.asarray(sample_rays)))
+    params = ckpt_lib.load_weights(variables['params'], ckpt_path)
+
+    renderer = ImageRenderer(model, chunk=args.chunk)
+
+    dir_name = f'results/{args.dataset_name}/{args.scene_name}'
+    os.makedirs(dir_name, exist_ok=True)
+
+    import imageio.v2 as imageio
+    imgs, psnrs = [], []
+    typ = 'fine' if nerf_cfg.num_fine_samples > 0 else 'coarse'
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        out = renderer(params, sample['rays'])
+        img_pred = np.asarray(out[typ]['rgb']).reshape(h, w, 3)
+
+        if args.save_depth:
+            depth_pred = np.nan_to_num(
+                np.asarray(out[typ]['depth']).reshape(h, w))
+            if args.depth_format == 'pfm':
+                save_pfm(os.path.join(dir_name, f'depth_{i:03d}.pfm'),
+                         depth_pred.astype(np.float32))
+            else:
+                with open(os.path.join(dir_name, f'depth_{i:03d}'), 'wb') as f:
+                    f.write(depth_pred.tobytes())
+
+        img_pred_ = to_uint8(img_pred)
+        imgs.append(img_pred_)
+        imageio.imwrite(os.path.join(dir_name, f'{i:03d}.png'), img_pred_)
+
+        if 'rgbs' in sample:
+            img_gt = sample['rgbs'].reshape(h, w, 3)
+            frame_psnr = float(metrics.psnr(img_gt, img_pred))
+            psnrs.append(frame_psnr)
+            print(f'frame {i:03d}: psnr {frame_psnr:.2f}', flush=True)
+        else:
+            print(f'frame {i:03d} rendered', flush=True)
+
+    imageio.mimsave(os.path.join(dir_name, f'{args.scene_name}.gif'),
+                    imgs, fps=args.gif_fps)
+    if psnrs:
+        print(f'Mean PSNR : {np.mean(psnrs):.2f}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,184 @@
+"""Configuration dataclasses for the model and training system.
+
+The reference resolves its configuration from a flat argparse namespace
+(/root/reference/opt.py) with much of the architecture hardcoded inside
+``NerfModel.__init__`` (/root/reference/hypernerf/models.py:134-207). Here the
+full architecture is an explicit, hashable, frozen dataclass so it can be a
+static argument to jit and be serialized next to checkpoints (so eval never
+drifts from training flags, unlike the reference's duplicated eval parser,
+eval.py:20-74).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfConfig:
+    """Architecture + rendering configuration for NerfModel.
+
+    Field defaults mirror the reference's resolved defaults
+    (models.py:111-207 with train.py:48-67 / opt.py flag defaults).
+    """
+    # Metadata embeddings (per-frame latent codes).
+    num_embeddings: int = 100
+    glo_dim: int = 8
+    share_glo: bool = True
+
+    # Scene / sampling.
+    near: float = 0.0
+    far: float = 1.0
+    num_coarse_samples: int = 64
+    num_fine_samples: int = 128
+    noise_std: Optional[float] = 1.0
+    use_stratified_sampling: bool = True
+    use_linear_disparity: bool = False
+    use_sample_at_infinity: bool = True
+    use_white_background: bool = False
+
+    # Warp field.
+    use_warp: bool = True
+    warp_field_type: str = 'translation'  # 'translation' | 'se3'
+    warp_depth: int = 6
+    warp_width: int = 128
+    warp_freq: int = 10  # posenc_orig freqs for the translation field
+    warp_min_deg: int = 0  # nerfies posenc degrees for the SE(3) field
+    warp_max_deg: int = 8
+
+    # Hyper-space slicing.
+    hyper_slice_method: str = 'bendy_sheet'  # 'none'|'axis_aligned_plane'|'bendy_sheet'
+    hyper_slice_out_dim: int = 4
+    hyper_sheet_depth: int = 6
+    hyper_sheet_width: int = 64
+    hyper_sheet_freq: int = 7
+    hyper_sheet_use_residual: bool = False
+
+    # Template NeRF MLP.
+    trunk_depth: int = 8
+    trunk_width: int = 256
+    rgb_branch_depth: int = 4
+    rgb_branch_width: int = 128
+    skips: Tuple[int, ...] = (4,)
+    alpha_channels: int = 1
+    rgb_channels: int = 3
+
+    # Conditioning.
+    use_viewdirs: bool = True
+    use_nerf_embed: bool = False
+    use_alpha_condition: bool = False
+    use_rgb_condition: bool = False
+
+    # Positional encoding. use_original_embed=True is the reference's live
+    # path (plain NeRF fourier features, models.py:204); False enables the
+    # Nerfies windowed encoding with coarse-to-fine annealing via extra_params.
+    use_original_embed: bool = True
+    xyz_freq: int = 10
+    dir_freq: int = 6
+    hyper_freq: int = 6
+    spatial_point_min_deg: int = 0
+    spatial_point_max_deg: int = 10
+    hyper_point_min_deg: int = 0
+    hyper_point_max_deg: int = 4
+    viewdir_min_deg: int = 0
+    viewdir_max_deg: int = 4
+
+    # Compute dtype for the MLP matmuls ('bfloat16' keeps the MXU fed;
+    # params, encodings and compositing stay fp32).
+    compute_dtype: str = 'bfloat16'
+
+    def __post_init__(self):
+        if self.hyper_slice_method not in ('none', 'axis_aligned_plane',
+                                           'bendy_sheet'):
+            raise ValueError(
+                f'Unknown hyper_slice_method {self.hyper_slice_method!r}')
+        if self.warp_field_type not in ('translation', 'se3'):
+            raise ValueError(
+                f'Unknown warp_field_type {self.warp_field_type!r}')
+        if self.use_nerf_embed and not (self.use_alpha_condition
+                                        or self.use_rgb_condition):
+            raise ValueError('use_nerf_embed requires use_alpha_condition '
+                             'or use_rgb_condition.')
+
+    @property
+    def has_hyper(self) -> bool:
+        return self.hyper_slice_method != 'none'
+
+    @property
+    def has_hyper_embed(self) -> bool:
+        return self.has_hyper
+
+    @property
+    def hyper_use_warp_embed(self) -> bool:
+        # share_GLO=True means the hyper/nerf branches reuse the warp
+        # embedding (models.py:167-168; the False path NameErrors in the
+        # reference — here it cleanly selects separate embeddings).
+        return self.share_glo and self.use_warp
+
+    @property
+    def nerf_use_warp_embed(self) -> bool:
+        return self.share_glo and self.use_warp
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> 'NerfConfig':
+        data = json.loads(text)
+        if 'skips' in data:
+            data['skips'] = tuple(data['skips'])
+        return cls(**data)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-system configuration (mirrors opt.py flag defaults)."""
+    root_dir: str = ''
+    dataset_name: str = 'llff'
+    img_wh: Tuple[int, int] = (504, 378)
+    spheric_poses: bool = False
+    use_nerfies_meta: bool = True
+
+    batch_size: int = 2048
+    chunk: int = 8192  # eval render tile (device-side lax.map tile size)
+    num_epochs: int = 20
+    max_steps: Optional[int] = None  # overrides num_epochs when set
+    lr: float = 5e-4
+    optimizer: str = 'adam'  # 'sgd' | 'adam' | 'radam' | 'ranger'
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    lr_scheduler: str = 'steplr'  # 'steplr' | 'cosine' | 'poly'
+    warmup_multiplier: float = 1.0
+    warmup_epochs: int = 0
+    decay_step: Tuple[int, ...] = (20,)
+    decay_gamma: float = 0.1
+    poly_exp: float = 0.9
+
+    # Coarse-to-fine posenc annealing (active when use_original_embed=False).
+    warp_alpha_steps: int = 80000
+    hyper_alpha_steps: int = 10000
+
+    exp_name: str = 'exp'
+    ckpt_dir: str = 'ckpts'
+    log_dir: str = 'logs'
+    ckpt_path: Optional[str] = None    # full-state resume
+    weight_path: Optional[str] = None  # weights-only warm start
+    prefixes_to_ignore: Tuple[str, ...] = ('loss',)
+
+    seed: int = 0
+    val_check_interval: float = 0.25
+    num_sanity_val_steps: int = 1
+    log_every: int = 100
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> 'TrainConfig':
+        data = json.loads(text)
+        for k in ('img_wh', 'decay_step', 'prefixes_to_ignore'):
+            if k in data and data[k] is not None:
+                data[k] = tuple(data[k])
+        return cls(**data)

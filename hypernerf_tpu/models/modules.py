@@ -1,0 +1,207 @@
+"""Neural modules: skip-MLP, NeRF template MLP, GLO embeddings, hyper-sheet.
+
+Capability parity with /root/reference/hypernerf/modules.py, rebuilt as flax
+modules. Key deliberate matches with the reference:
+
+* ``MLP`` applies the skip concat *after* layer i's activation
+  (modules.py:116-127), so the layer after a skip sees width+in_ch features.
+* Init schemes: Xavier-uniform hidden layers (modules.py:105-109),
+  per-module output inits (uniform 1e-4 warp, normal 1e-5 hyper-sheet,
+  normal 0.1/dim GLO).
+* ``NerfMLP``: trunk (8x256, ReLU output) -> bottleneck Dense 256->128
+  (modules.py:232) -> alpha head Dense(128+cond -> 1) and rgb branch
+  MLP(128+cond -> 3, depth 4, width 128) (modules.py:235-251), with per-ray
+  conditions broadcast across samples (modules.py:254-264).
+
+TPU-first deviations: channel counts are inferred lazily by flax (no CUDA
+shape probes); matmuls run in a configurable compute dtype (bf16 by default)
+with fp32 params; raw rgb/alpha are returned unactivated so the model can
+apply sigmoid/softplus in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from hypernerf_tpu.ops.posenc import posenc_orig
+
+Dtype = Any
+
+
+class MLP(nn.Module):
+    """Multi-layer perceptron with post-activation skip concatenation.
+
+    Attributes:
+      out_ch: output channels of the final (logit) layer.
+      depth: number of hidden layers (excluding the logit layer).
+      width: hidden width.
+      hidden_init / output_init: kernel initializers.
+      hidden_activation / output_activation: activations.
+      skips: hidden-layer indices after which the raw input is concatenated.
+    """
+    out_ch: int
+    depth: int = 8
+    width: int = 256
+    hidden_init: Callable = nn.initializers.xavier_uniform()
+    output_init: Optional[Callable] = None
+    hidden_activation: Callable = nn.relu
+    output_activation: Optional[Callable] = None
+    use_bias: bool = True
+    skips: Tuple[int, ...] = (4,)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inputs = x
+        for i in range(self.depth):
+            x = nn.Dense(self.width,
+                         use_bias=self.use_bias,
+                         kernel_init=self.hidden_init,
+                         dtype=self.dtype,
+                         param_dtype=jnp.float32,
+                         name=f'hidden_{i}')(x)
+            x = self.hidden_activation(x)
+            if i in self.skips:
+                x = jnp.concatenate([x, inputs], axis=-1)
+        x = nn.Dense(self.out_ch,
+                     use_bias=self.use_bias,
+                     kernel_init=self.output_init or self.hidden_init,
+                     dtype=self.dtype,
+                     param_dtype=jnp.float32,
+                     name='logit')(x)
+        if self.output_activation is not None:
+            x = self.output_activation(x)
+        return x
+
+
+class GLOEmbed(nn.Module):
+    """Per-frame latent codes: a thin wrapper around nn.Embed.
+
+    Matches modules.py:131-167: init normal with std 0.1/dim, squeezes a
+    trailing singleton index dim.
+    """
+    num_embeddings: int
+    features: int = 8
+
+    @nn.compact
+    def __call__(self, inputs):
+        if inputs.shape and inputs.shape[-1] == 1:
+            inputs = jnp.squeeze(inputs, axis=-1)
+        embed = nn.Embed(
+            num_embeddings=self.num_embeddings,
+            features=self.features,
+            embedding_init=nn.initializers.normal(stddev=0.1 / self.features),
+            name='embed')
+        return embed(inputs.astype(jnp.int32))
+
+
+class NerfMLP(nn.Module):
+    """The NeRF template MLP: trunk -> bottleneck -> {alpha head, rgb branch}.
+
+    Returns raw (unactivated) rgb logits and alpha; the caller applies
+    sigmoid/softplus (and sigma noise) in fp32.
+    """
+    trunk_depth: int = 8
+    trunk_width: int = 256
+    rgb_branch_depth: int = 4
+    rgb_branch_width: int = 128
+    rgb_channels: int = 3
+    alpha_channels: int = 1
+    skips: Tuple[int, ...] = (4,)
+    hidden_activation: Callable = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, alpha_condition=None, rgb_condition=None):
+        """Evaluate the template.
+
+        Args:
+          x: (B, S, F) encoded sample features.
+          alpha_condition: optional (B, Ca) per-ray condition for the density.
+          rgb_condition: optional (B, Cr) per-ray condition for the color.
+
+        Returns:
+          {'rgb': (B, S, 3) raw logits, 'alpha': (B, S, 1) raw density}.
+        """
+        num_samples = x.shape[-2]
+
+        def broadcast_condition(c):
+            # (B, C) -> (B, S, C): every sample on a ray shares the condition.
+            if c.ndim == x.ndim - 1:
+                c = c[..., None, :]
+            return jnp.broadcast_to(c, (*x.shape[:-1], c.shape[-1]))
+
+        trunk = MLP(out_ch=self.trunk_width,
+                    depth=self.trunk_depth,
+                    width=self.trunk_width,
+                    hidden_activation=self.hidden_activation,
+                    output_activation=self.hidden_activation,
+                    skips=self.skips,
+                    dtype=self.dtype,
+                    name='trunk')(x)
+        bottleneck = nn.Dense(self.trunk_width // 2,
+                              dtype=self.dtype,
+                              param_dtype=jnp.float32,
+                              name='bottleneck')(trunk)
+
+        if alpha_condition is not None:
+            alpha_input = jnp.concatenate(
+                [bottleneck, broadcast_condition(alpha_condition).astype(bottleneck.dtype)],
+                axis=-1)
+        else:
+            alpha_input = bottleneck
+        alpha = nn.Dense(self.alpha_channels,
+                         kernel_init=nn.initializers.xavier_uniform(),
+                         dtype=self.dtype,
+                         param_dtype=jnp.float32,
+                         name='alpha_head')(alpha_input)
+
+        if rgb_condition is not None:
+            rgb_input = jnp.concatenate(
+                [bottleneck, broadcast_condition(rgb_condition).astype(bottleneck.dtype)],
+                axis=-1)
+        else:
+            rgb_input = bottleneck
+        rgb = MLP(out_ch=self.rgb_channels,
+                  depth=self.rgb_branch_depth,
+                  width=self.rgb_branch_width,
+                  hidden_activation=self.hidden_activation,
+                  skips=self.skips,
+                  dtype=self.dtype,
+                  name='rgb_branch')(rgb_input)
+
+        return {'rgb': rgb, 'alpha': alpha}
+
+
+class HyperSheetMLP(nn.Module):
+    """The 'bendy sheet' slicing MLP mapping (point, embed) -> hyper coords.
+
+    Matches modules.py:302-337: posenc_orig(points, 7 freqs) ++ warp embed ->
+    MLP depth 6, width 64, skips (4,), output init normal std=1e-5, optional
+    +embed residual.
+    """
+    out_ch: int = 4
+    depth: int = 6
+    width: int = 64
+    n_freq: int = 7
+    skips: Tuple[int, ...] = (4,)
+    use_residual: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, embed, alpha=None):
+        points_feat = posenc_orig(points, self.n_freq)
+        inputs = jnp.concatenate([points_feat, embed], axis=-1)
+        out = MLP(out_ch=self.out_ch,
+                  depth=self.depth,
+                  width=self.width,
+                  output_init=nn.initializers.normal(stddev=1e-5),
+                  skips=self.skips,
+                  dtype=self.dtype,
+                  name='mlp')(inputs)
+        if self.use_residual:
+            return out + embed
+        return out

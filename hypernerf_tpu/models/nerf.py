@@ -1,0 +1,440 @@
+"""NerfModel: the top-level HyperNeRF model (coarse+fine, warp, hyper slicing).
+
+Capability parity with /root/reference/hypernerf/models.py:67-780, rebuilt as
+one pure flax module designed for a single jit-compiled megabatch:
+
+* ``__call__(rays_dict, extra_params)`` runs the whole coarse+fine pipeline
+  with no Python chunk loop (the reference chunks at train.py:108-111); memory
+  tiling for full-image renders happens outside via ``lax.map`` (renderer.py).
+* Stochasticity (stratified jitter, inverse-CDF draws, sigma noise) comes from
+  explicit flax RNG collections ('sampling', 'sigma_noise') instead of global
+  torch RNG.
+* MLP matmuls run in the config's compute dtype (bf16 on the MXU); encodings,
+  activations of the heads, and compositing stay fp32.
+* Per-ray near/far from the ray tensor are honored (the reference reads then
+  discards them, model_utils.py:389-390, silently rendering spheric scenes
+  with the NDC near/far).
+* Intended-behavior fixes over the reference: share_GLO=False works
+  (models.py:167-168 NameErrors), fine MLP is only built when
+  num_fine_samples > 0 (models.py:309), metadata interpolation splits (*, 3)
+  correctly (models.py:369), warp Jacobians are implemented.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hypernerf_tpu.configs import NerfConfig
+from hypernerf_tpu.models.modules import GLOEmbed, HyperSheetMLP, NerfMLP
+from hypernerf_tpu.models.warping import SE3Field, TranslationField
+from hypernerf_tpu.ops.posenc import posenc, posenc_orig
+from hypernerf_tpu.ops.rendering import (filter_sigma, noise_regularize,
+                                         compute_depth_index,
+                                         volumetric_rendering)
+from hypernerf_tpu.ops.sampling import sample_along_rays, sample_pdf
+
+# Default extra_params: posenc annealing alphas (None = window disabled).
+DEFAULT_EXTRA_PARAMS: Dict[str, Any] = {
+    'nerf_alpha': None,
+    'warp_alpha': None,
+    'hyper_alpha': None,
+    'hyper_sheet_alpha': None,
+}
+
+# The metadata keys carried per ray (model_utils.py:396-399).
+METADATA_KEYS = ('warp', 'camera', 'appearance', 'time')
+WARP_EMBED_KEY = 'time'
+HYPER_EMBED_KEY = 'time'
+NERF_EMBED_KEY = 'warp'
+
+
+class NerfModel(nn.Module):
+    """HyperNeRF with coarse+fine MLPs, warp field and hyper-space slicing."""
+    config: NerfConfig
+
+    def setup(self):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.use_warp:
+            self.warp_embed = GLOEmbed(cfg.num_embeddings, cfg.glo_dim,
+                                       name='warp_embed')
+            if cfg.warp_field_type == 'translation':
+                self.warp_field = TranslationField(
+                    depth=cfg.warp_depth, width=cfg.warp_width,
+                    n_freq=cfg.warp_freq, skips=cfg.skips, dtype=dtype,
+                    name='warp_field')
+            else:
+                self.warp_field = SE3Field(
+                    trunk_depth=cfg.warp_depth, trunk_width=cfg.warp_width,
+                    min_deg=cfg.warp_min_deg, max_deg=cfg.warp_max_deg,
+                    skips=cfg.skips, dtype=dtype, name='warp_field')
+        if cfg.has_hyper_embed and not cfg.hyper_use_warp_embed:
+            self.hyper_embed = GLOEmbed(cfg.num_embeddings, cfg.glo_dim,
+                                        name='hyper_embed')
+        if cfg.hyper_slice_method == 'bendy_sheet':
+            self.hyper_sheet_mlp = HyperSheetMLP(
+                out_ch=cfg.hyper_slice_out_dim,
+                depth=cfg.hyper_sheet_depth,
+                width=cfg.hyper_sheet_width,
+                n_freq=cfg.hyper_sheet_freq,
+                skips=cfg.skips,
+                use_residual=cfg.hyper_sheet_use_residual,
+                dtype=dtype,
+                name='hyper_sheet_mlp')
+        if cfg.use_nerf_embed and not cfg.nerf_use_warp_embed:
+            self.nerf_embed = GLOEmbed(cfg.num_embeddings, cfg.glo_dim,
+                                       name='nerf_embed')
+
+        template_kwargs = dict(
+            trunk_depth=cfg.trunk_depth,
+            trunk_width=cfg.trunk_width,
+            rgb_branch_depth=cfg.rgb_branch_depth,
+            rgb_branch_width=cfg.rgb_branch_width,
+            rgb_channels=cfg.rgb_channels,
+            alpha_channels=cfg.alpha_channels,
+            skips=cfg.skips,
+            dtype=dtype)
+        self.nerf_mlp_coarse = NerfMLP(name='nerf_coarse', **template_kwargs)
+        if cfg.num_fine_samples > 0:
+            self.nerf_mlp_fine = NerfMLP(name='nerf_fine', **template_kwargs)
+
+    # ------------------------------------------------------------------ embeds
+
+    @staticmethod
+    def _encode_embed(embed_module, meta):
+        """Encode metadata into embeddings.
+
+        meta is (*, 1) (a single id) or (*, 3) (left id, right id, and a
+        progression in [0,1] interpolating between them — models.py:351-374,
+        with the split fixed to 1/1/1).
+        """
+        if meta.shape[-1] == 3:
+            left = embed_module(meta[..., 0].astype(jnp.int32))
+            right = embed_module(meta[..., 1].astype(jnp.int32))
+            progression = meta[..., 2:3].astype(left.dtype)
+            return (1.0 - progression) * left + progression * right
+        return embed_module(meta)
+
+    def encode_warp_embed(self, metadata):
+        return self._encode_embed(self.warp_embed, metadata[WARP_EMBED_KEY])
+
+    def encode_hyper_embed(self, metadata):
+        if not self.config.has_hyper_embed:
+            raise ValueError('Model has no hyper embedding.')
+        if self.config.hyper_use_warp_embed:
+            return self._encode_embed(self.warp_embed, metadata[WARP_EMBED_KEY])
+        return self._encode_embed(self.hyper_embed, metadata[HYPER_EMBED_KEY])
+
+    def encode_nerf_embed(self, metadata):
+        if self.config.nerf_use_warp_embed:
+            return self._encode_embed(self.warp_embed, metadata[WARP_EMBED_KEY])
+        return self._encode_embed(self.nerf_embed, metadata[NERF_EMBED_KEY])
+
+    # -------------------------------------------------------------- conditions
+
+    def get_condition_inputs(self, viewdirs, metadata, extra_params,
+                             metadata_encoded: bool = False):
+        """Per-ray condition vectors for the template (models.py:404-445)."""
+        cfg = self.config
+        alpha_conditions = []
+        rgb_conditions = []
+
+        if cfg.use_viewdirs:
+            if cfg.use_original_embed:
+                viewdirs_feat = posenc_orig(viewdirs, cfg.dir_freq)
+            else:
+                viewdirs_feat = posenc(viewdirs,
+                                       min_deg=cfg.viewdir_min_deg,
+                                       max_deg=cfg.viewdir_max_deg,
+                                       use_identity=True,
+                                       alpha=extra_params.get('nerf_alpha'))
+            rgb_conditions.append(viewdirs_feat)
+
+        if cfg.use_nerf_embed:
+            if metadata_encoded:
+                nerf_embed = metadata['encoded_nerf']
+            else:
+                nerf_embed = self.encode_nerf_embed(metadata)
+            if cfg.use_alpha_condition:
+                alpha_conditions.append(nerf_embed)
+            if cfg.use_rgb_condition:
+                rgb_conditions.append(nerf_embed)
+
+        alpha_condition = (jnp.concatenate(alpha_conditions, axis=-1)
+                           if alpha_conditions else None)
+        rgb_condition = (jnp.concatenate(rgb_conditions, axis=-1)
+                         if rgb_conditions else None)
+        return alpha_condition, rgb_condition
+
+    # ---------------------------------------------------------------- template
+
+    def query_template(self, level, points, viewdirs, metadata, extra_params,
+                       metadata_encoded: bool = False, stratified: bool = True):
+        """Positional-encode (spatial ++ hyper) points and run the NeRF MLP.
+
+        Mirrors models.py:447-493: posenc_orig(xyz, xyz_freq) ++
+        posenc_orig(hyper, hyper_freq) -> NerfMLP -> sigma noise ->
+        sigmoid rgb / softplus sigma (applied here in fp32).
+        """
+        cfg = self.config
+        alpha_condition, rgb_condition = self.get_condition_inputs(
+            viewdirs, metadata, extra_params, metadata_encoded)
+
+        if cfg.use_original_embed:
+            points_feat = posenc_orig(points[..., :3], cfg.xyz_freq)
+        else:
+            points_feat = posenc(points[..., :3],
+                                 min_deg=cfg.spatial_point_min_deg,
+                                 max_deg=cfg.spatial_point_max_deg,
+                                 use_identity=True,
+                                 alpha=extra_params.get('nerf_alpha'))
+        if points.shape[-1] > 3:
+            if cfg.use_original_embed:
+                hyper_feat = posenc_orig(points[..., 3:], cfg.hyper_freq)
+            else:
+                hyper_feat = posenc(points[..., 3:],
+                                    min_deg=cfg.hyper_point_min_deg,
+                                    max_deg=cfg.hyper_point_max_deg,
+                                    use_identity=False,
+                                    alpha=extra_params.get('hyper_alpha'))
+            points_feat = jnp.concatenate([points_feat, hyper_feat], axis=-1)
+
+        mlp = self.nerf_mlp_fine if level == 'fine' else self.nerf_mlp_coarse
+        raw = mlp(points_feat, alpha_condition=alpha_condition,
+                  rgb_condition=rgb_condition)
+
+        raw_alpha = raw['alpha'].astype(jnp.float32)
+        noise_key = None
+        if (stratified and cfg.noise_std is not None and cfg.noise_std > 0.0
+                and self.has_rng('sigma_noise')):
+            noise_key = self.make_rng('sigma_noise')
+        raw_alpha = noise_regularize(noise_key, raw_alpha, cfg.noise_std,
+                                     stratified)
+
+        rgb = nn.sigmoid(raw['rgb'].astype(jnp.float32))
+        sigma = nn.softplus(jnp.squeeze(raw_alpha, axis=-1))
+        return rgb, sigma
+
+    # ------------------------------------------------------------------- warps
+
+    def map_spatial_points(self, points, warp_embed, extra_params,
+                           use_warp: bool = True,
+                           return_warp_jacobian: bool = False):
+        warp_jacobian = None
+        if self.config.use_warp and use_warp:
+            warp_out = self.warp_field(points, warp_embed, extra_params,
+                                       return_jacobian=return_warp_jacobian)
+            if return_warp_jacobian:
+                warp_jacobian = warp_out['jacobian']
+            warped_points = warp_out['warped_points']
+        else:
+            warped_points = points
+        return warped_points, warp_jacobian
+
+    def map_hyper_points(self, points, hyper_embed, extra_params,
+                         hyper_point_override=None):
+        """Maps input points to hyper-space coordinates (models.py:514-543)."""
+        cfg = self.config
+        if hyper_point_override is not None:
+            return jnp.broadcast_to(
+                hyper_point_override[:, None, :],
+                (*points.shape[:-1], hyper_point_override.shape[-1]))
+        if cfg.hyper_slice_method == 'axis_aligned_plane':
+            return hyper_embed
+        if cfg.hyper_slice_method == 'bendy_sheet':
+            return self.hyper_sheet_mlp(
+                points, hyper_embed,
+                alpha=extra_params.get('hyper_sheet_alpha')).astype(jnp.float32)
+        return None
+
+    def map_points(self, points, warp_embed, hyper_embed, extra_params,
+                   use_warp: bool = True, return_warp_jacobian: bool = False,
+                   hyper_point_override=None):
+        """Warp spatial points and append hyper coordinates (models.py:545-581)."""
+        if not use_warp:
+            return points, None
+        spatial_points, warp_jacobian = self.map_spatial_points(
+            points, warp_embed, extra_params, use_warp=use_warp,
+            return_warp_jacobian=return_warp_jacobian)
+        hyper_points = self.map_hyper_points(
+            points, hyper_embed, extra_params,
+            hyper_point_override=hyper_point_override)
+        if hyper_points is not None:
+            warped_points = jnp.concatenate([spatial_points, hyper_points],
+                                            axis=-1)
+        else:
+            warped_points = spatial_points
+        return warped_points, warp_jacobian
+
+    def apply_warp(self, points, warp_metadata, extra_params):
+        warp_embed = self.warp_embed(warp_metadata)
+        return self.warp_field(points, warp_embed, extra_params)
+
+    # ---------------------------------------------------------------- rendering
+
+    def render_samples(self, level, points, z_vals, directions, viewdirs,
+                       metadata, extra_params, use_warp: bool = True,
+                       metadata_encoded: bool = False,
+                       return_warp_jacobian: bool = False,
+                       use_sample_at_infinity: bool = True,
+                       stratified: bool = True,
+                       render_opts=None,
+                       return_points: bool = False):
+        """Evaluate warp + template + compositing for one level (models.py:587-671)."""
+        cfg = self.config
+        out = {}
+        batch_shape = points.shape[:-1]
+
+        if use_warp:
+            if metadata_encoded:
+                warp_embed = metadata['encoded_warp']
+            else:
+                warp_embed = self.encode_warp_embed(metadata)
+        else:
+            warp_embed = None
+
+        if cfg.has_hyper_embed:
+            if metadata_encoded:
+                hyper_embed = metadata['encoded_hyper']
+            elif cfg.hyper_use_warp_embed:
+                hyper_embed = warp_embed
+            else:
+                hyper_embed = self.encode_hyper_embed(metadata)
+        else:
+            hyper_embed = None
+
+        # Broadcast per-ray embeddings across samples.
+        if warp_embed is not None:
+            warp_embed = jnp.broadcast_to(
+                warp_embed[..., None, :],
+                (*batch_shape, warp_embed.shape[-1]))
+        if hyper_embed is not None:
+            hyper_embed = jnp.broadcast_to(
+                hyper_embed[..., None, :],
+                (*batch_shape, hyper_embed.shape[-1]))
+
+        warped_points, warp_jacobian = self.map_points(
+            points, warp_embed, hyper_embed, extra_params, use_warp=use_warp,
+            return_warp_jacobian=return_warp_jacobian,
+            hyper_point_override=metadata.get('hyper_point'))
+
+        rgb, sigma = self.query_template(
+            level, warped_points, viewdirs, metadata,
+            extra_params=extra_params, metadata_encoded=metadata_encoded,
+            stratified=stratified)
+        sigma = filter_sigma(points, sigma, render_opts)
+
+        if warp_jacobian is not None:
+            out['warp_jacobian'] = warp_jacobian
+        if return_points:
+            out['points'] = points
+            out['warped_points'] = warped_points
+        out.update(volumetric_rendering(
+            rgb, sigma, z_vals, directions,
+            use_white_background=cfg.use_white_background,
+            sample_at_infinity=use_sample_at_infinity))
+
+        if return_points:
+            # The warped point each ray terminates at (median depth).
+            depth_indices = compute_depth_index(out['weights'])
+            out['med_points'] = jnp.take_along_axis(
+                warped_points, depth_indices[..., None, None], axis=-2)
+        return out
+
+    def __call__(self,
+                 rays_dict: Dict[str, Any],
+                 extra_params: Optional[Dict[str, Any]] = None,
+                 metadata_encoded: bool = False,
+                 use_warp: bool = True,
+                 return_points: bool = False,
+                 return_weights: bool = True,
+                 return_warp_jacobian: bool = False,
+                 near=None,
+                 far=None,
+                 use_sample_at_infinity=None,
+                 render_opts=None,
+                 deterministic: bool = False):
+        """Render a batch of rays (models.py:673-780).
+
+        Args:
+          rays_dict: {'origins': (B,3), 'directions': (B,3),
+            'viewdirs': optional (B,3), 'metadata': {key: (B,1)|(B,3)},
+            optional per-ray 'near'/'far': (B,)}.
+          extra_params: posenc annealing alphas (see DEFAULT_EXTRA_PARAMS).
+          metadata_encoded: metadata already contains encoded embeddings.
+          use_warp: enable the warp field (if the model has one).
+          return_points / return_weights: include heavyweight per-sample
+            outputs in the result.
+          near / far: overrides (else per-ray values, else config).
+          use_sample_at_infinity: override config.
+          render_opts: dict for filter_sigma ('dust_threshold'/'bounding_box').
+          deterministic: disable stratified sampling and sigma noise (eval).
+
+        Returns:
+          {'coarse': {...}, 'fine': {...}} with per-ray rgb/depth/med_depth/acc
+          (plus weights/points when requested).
+        """
+        cfg = self.config
+        use_warp = cfg.use_warp and use_warp
+        extra_params = {**DEFAULT_EXTRA_PARAMS, **(extra_params or {})}
+
+        origins = rays_dict['origins']
+        directions = rays_dict['directions']
+        metadata = rays_dict['metadata']
+        viewdirs = rays_dict.get('viewdirs')
+        if viewdirs is None:
+            viewdirs = directions
+
+        if near is None:
+            near = rays_dict.get('near', cfg.near)
+        if far is None:
+            far = rays_dict.get('far', cfg.far)
+        if use_sample_at_infinity is None:
+            use_sample_at_infinity = cfg.use_sample_at_infinity
+        stratified = cfg.use_stratified_sampling and not deterministic
+
+        if stratified:
+            coarse_key = self.make_rng('sampling')
+        else:
+            coarse_key = jax.random.PRNGKey(0)  # unused when not stratified
+        z_vals, points = sample_along_rays(
+            coarse_key, origins, directions, cfg.num_coarse_samples,
+            near, far, stratified, cfg.use_linear_disparity)
+        coarse_ret = self.render_samples(
+            'coarse', points, z_vals, directions, viewdirs, metadata,
+            extra_params, use_warp=use_warp,
+            metadata_encoded=metadata_encoded,
+            return_warp_jacobian=return_warp_jacobian,
+            use_sample_at_infinity=cfg.use_sample_at_infinity,
+            stratified=stratified,
+            return_points=return_points)
+        out = {'coarse': coarse_ret}
+
+        if cfg.num_fine_samples > 0:
+            z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            if stratified:
+                fine_key = self.make_rng('sampling')
+            else:
+                fine_key = jax.random.PRNGKey(0)
+            z_vals, points = sample_pdf(
+                fine_key, z_vals_mid, coarse_ret['weights'][..., 1:-1],
+                origins, directions, z_vals, cfg.num_fine_samples,
+                stratified)
+            out['fine'] = self.render_samples(
+                'fine', points, z_vals, directions, viewdirs, metadata,
+                extra_params, use_warp=use_warp,
+                metadata_encoded=metadata_encoded,
+                return_warp_jacobian=return_warp_jacobian,
+                use_sample_at_infinity=use_sample_at_infinity,
+                stratified=stratified,
+                render_opts=render_opts,
+                return_points=return_points)
+
+        if not return_weights:
+            for level in out:
+                out[level].pop('weights', None)
+        return out

@@ -1,0 +1,123 @@
+"""Batched rigid-body (SE(3)/SO(3)) math.
+
+Capability parity with /root/reference/hypernerf/rigid_body.py, which is
+unbatched (``skew`` flattens to a single 3-vector at rigid_body.py:35 and
+hardcodes ``.cuda()`` throughout). Here every function is fully batched over
+arbitrary leading dims so the SE(3) warp field can evaluate per ray sample in
+one fused XLA computation, and small-angle Taylor guards make ``exp_se3``
+differentiable at theta=0 (the identity transform the warp field is
+initialized to).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Below this angle, use Taylor expansions of the so(3)/se(3) coefficient
+# functions to stay finite and differentiable.
+_SMALL_ANGLE = 1e-6
+
+
+def skew(w):
+    """Skew (cross-product) matrix for the 3-vector(s) w.
+
+    Modern Robotics Eqn 3.30, batched: (..., 3) -> (..., 3, 3).
+    """
+    zeros = jnp.zeros_like(w[..., 0])
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    row0 = jnp.stack([zeros, -wz, wy], axis=-1)
+    row1 = jnp.stack([wz, zeros, -wx], axis=-1)
+    row2 = jnp.stack([-wy, wx, zeros], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def rp_to_se3(r, p):
+    """Assemble (..., 3, 3) rotations and (..., 3) translations into
+    (..., 4, 4) homogeneous transforms."""
+    batch = r.shape[:-2]
+    top = jnp.concatenate([r, p[..., :, None]], axis=-1)  # (..., 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=r.dtype), (*batch, 1, 4))
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def exp_so3(w, theta):
+    """Rodrigues' formula: rotation about unit axis w by angle theta.
+
+    Args:
+      w: (..., 3) unit rotation axes.
+      theta: (...,) angles.
+
+    Returns:
+      (..., 3, 3) rotation matrices.
+    """
+    wm = skew(w)
+    wm2 = wm @ wm
+    theta = theta[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), wm.shape)
+    return eye + jnp.sin(theta) * wm + (1.0 - jnp.cos(theta)) * wm2
+
+
+def exp_se3(screw_axis, theta):
+    """Exponential map from se(3) to SE(3), Modern Robotics Eqn 3.88, batched.
+
+    Args:
+      screw_axis: (..., 6) screw axes [w, v] with unit w.
+      theta: (...,) motion magnitudes.
+
+    Returns:
+      (..., 4, 4) homogeneous transforms.
+    """
+    w, v = screw_axis[..., :3], screw_axis[..., 3:]
+    wm = skew(w)
+    wm2 = wm @ wm
+    r = exp_so3(w, theta)
+    t = theta[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), wm.shape)
+    g = t * eye + (1.0 - jnp.cos(t)) * wm + (t - jnp.sin(t)) * wm2
+    p = jnp.squeeze(g @ v[..., :, None], axis=-1)
+    return rp_to_se3(r, p)
+
+
+def exp_se3_from_wv(w, v):
+    """SE(3) exp from unnormalized rotation/translation outputs.
+
+    Computes theta = |w|, normalizes the screw axis, and handles theta -> 0
+    smoothly (identity rotation, translation -> v) — the safe form the SE(3)
+    warp field needs since its heads are initialized near zero (the reference
+    divides by theta unguarded at warping.py:231-232, a NaN at init).
+
+    Args:
+      w: (..., 3) rotation vectors.  v: (..., 3) translation generators.
+
+    Returns:
+      (..., 4, 4) homogeneous transforms.
+    """
+    theta = jnp.linalg.norm(w, axis=-1)
+    safe_theta = jnp.maximum(theta, _SMALL_ANGLE)[..., None]
+    w_unit = w / safe_theta
+    v_unit = v / safe_theta
+    screw = jnp.concatenate([w_unit, v_unit], axis=-1)
+    transform = exp_se3(screw, jnp.maximum(theta, _SMALL_ANGLE))
+    # At theta ~ 0 the transform degenerates to a pure translation by v.
+    small = (theta <= _SMALL_ANGLE)[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=w.dtype), (*w.shape[:-1], 4, 4))
+    translate = eye.at[..., :3, 3].set(v)
+    return jnp.where(small, translate, transform)
+
+
+def to_homogenous(v):
+    """(..., 3) points -> (..., 4) homogeneous coordinates."""
+    return jnp.concatenate([v, jnp.ones_like(v[..., :1])], axis=-1)
+
+
+def from_homogenous(v):
+    """(..., 4) homogeneous coordinates -> (..., 3) points."""
+    return v[..., :3] / v[..., -1:]
+
+
+def transform_points(transform, points):
+    """Apply (..., 4, 4) transforms to (..., 3) points, batched."""
+    homo = to_homogenous(points)
+    out = jnp.squeeze(transform @ homo[..., :, None], axis=-1)
+    return from_homogenous(out)

@@ -1,0 +1,151 @@
+"""Train state and the sharded, jit-compiled train step.
+
+This replaces the reference's PyTorch-Lightning training loop
+(/root/reference/train.py:35-163) with the TPU-native shape:
+
+* The ENTIRE dataset (all rays + rgbs, tens of MB) lives in HBM, replicated
+  on every chip. There is no input pipeline in the hot path — each device
+  draws its own random ray batch indices *inside* the jitted step (the
+  reference shuffles via DataLoader workers + per-batch H2D copies,
+  train.py:133-138).
+* One ``shard_map`` over a 1-D ``('data',)`` mesh: per-device forward/backward
+  on batch_size/n_devices rays, gradients ``lax.pmean``-ed over ICI,
+  identical optimizer update on every device (the fairscale ddp_sharded
+  equivalent, train.py:229).
+* Stochasticity is decorrelated across devices and steps by folding the
+  step count and the mesh axis index into the base PRNG key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from hypernerf_tpu.configs import NerfConfig, TrainConfig
+from hypernerf_tpu.models.nerf import NerfModel
+from hypernerf_tpu.ops.ray_dict import prepare_ray_dict
+from hypernerf_tpu.parallel.mesh import DATA_AXIS
+from hypernerf_tpu.training.losses import loss_dict
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def forward_params(params):
+    """Parameters the forward pass should use (lookahead keeps fast/slow)."""
+    if isinstance(params, optax.LookaheadParams):
+        return params.fast
+    return params
+
+
+def compute_extra_params(nerf_cfg: NerfConfig, train_cfg: TrainConfig, step):
+    """Posenc annealing alphas as a function of the global step.
+
+    Only active with the Nerfies encoding (use_original_embed=False); each
+    alpha ramps linearly from 0 to its number of frequency bands — the
+    coarse-to-fine schedule the reference plumbs but never enables
+    (train.py:102-107 passes all None).
+    """
+    if nerf_cfg.use_original_embed:
+        return {}
+    step = jnp.asarray(step, jnp.float32)
+    warp_bands = nerf_cfg.warp_max_deg - nerf_cfg.warp_min_deg
+    hyper_bands = nerf_cfg.hyper_point_max_deg - nerf_cfg.hyper_point_min_deg
+    nerf_bands = (nerf_cfg.spatial_point_max_deg
+                  - nerf_cfg.spatial_point_min_deg)
+    warp_alpha = jnp.minimum(
+        step / max(1, train_cfg.warp_alpha_steps), 1.0) * warp_bands
+    hyper_alpha = jnp.minimum(
+        step / max(1, train_cfg.hyper_alpha_steps), 1.0) * hyper_bands
+    return {
+        'nerf_alpha': jnp.float32(nerf_bands),  # spatial bands fully on
+        'warp_alpha': warp_alpha,
+        'hyper_alpha': hyper_alpha,
+        'hyper_sheet_alpha': hyper_alpha,
+    }
+
+
+def create_train_state(model: NerfModel, tx: optax.GradientTransformation,
+                       train_cfg: TrainConfig, rng,
+                       sample_rays) -> TrainState:
+    """Initialize parameters and optimizer state from a (tiny) sample batch."""
+    rays_dict = prepare_ray_dict(jnp.asarray(sample_rays))
+    init_rngs = {'params': rng, 'sampling': rng, 'sigma_noise': rng}
+    variables = model.init(init_rngs, rays_dict)
+    params = variables['params']
+    if train_cfg.optimizer == 'ranger':
+        params = optax.LookaheadParams.init_synced(params)
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt_state)
+
+
+def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
+                    nerf_cfg: NerfConfig, train_cfg: TrainConfig, mesh):
+    """Build the jitted, shard_map'd train step.
+
+    Returns step_fn(state, all_rays, all_rgbs, base_rng) -> (state, metrics).
+    ``all_rays``/``all_rgbs`` are the full replicated dataset buffers; each
+    device samples its own batch slice on device.
+    """
+    n_devices = mesh.devices.size
+    if train_cfg.batch_size % n_devices:
+        raise ValueError(
+            f'batch_size {train_cfg.batch_size} must be divisible by the '
+            f'number of devices {n_devices}')
+    per_device_batch = train_cfg.batch_size // n_devices
+    loss_fn = loss_dict['mse']
+
+    def device_step(state, all_rays, all_rgbs, base_rng):
+        axis = jax.lax.axis_index(DATA_AXIS)
+        rng = jax.random.fold_in(jax.random.fold_in(base_rng, state.step), axis)
+        k_idx, k_sample, k_noise = jax.random.split(rng, 3)
+
+        n_total = all_rays.shape[0]
+        idx = jax.random.randint(k_idx, (per_device_batch,), 0, n_total)
+        rays = jnp.take(all_rays, idx, axis=0)
+        rgbs = jnp.take(all_rgbs, idx, axis=0)
+        rays_dict = prepare_ray_dict(rays)
+        extra_params = compute_extra_params(nerf_cfg, train_cfg, state.step)
+
+        def compute_loss(params):
+            results = model.apply(
+                {'params': forward_params(params)}, rays_dict, extra_params,
+                rngs={'sampling': k_sample, 'sigma_noise': k_noise})
+            loss = loss_fn(results, rgbs)
+            typ = 'fine' if 'fine' in results else 'coarse'
+            batch_mse = jnp.mean((results[typ]['rgb'] - rgbs) ** 2)
+            return loss, batch_mse
+
+        (loss, batch_mse), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        # Gradient sync over ICI — the NCCL allreduce equivalent.
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        batch_mse = jax.lax.pmean(batch_mse, DATA_AXIS)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics = {'loss': loss, 'psnr': -10.0 * jnp.log10(batch_mse)}
+        return new_state, metrics
+
+    sharded = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    return jax.jit(sharded, donate_argnums=(0,))

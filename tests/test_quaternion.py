@@ -1,0 +1,75 @@
+"""Unit tests for quaternion math (ops/quaternion.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from hypernerf_tpu.ops import quaternion as q
+
+
+def _random_unit_quats(n, seed=0):
+    rs = np.random.RandomState(seed)
+    quats = rs.randn(n, 4)
+    return (quats / np.linalg.norm(quats, axis=-1, keepdims=True)).astype(
+        np.float32)
+
+
+def test_identity_and_parts():
+    e = q.identity()
+    np.testing.assert_array_equal(np.asarray(e), [0, 0, 0, 1])
+    x = jnp.asarray([[1., 2., 3., 4.]])
+    np.testing.assert_array_equal(np.asarray(q.im(x)), [[1, 2, 3]])
+    np.testing.assert_array_equal(np.asarray(q.re(x)), [[4]])
+
+
+def test_multiply_matches_scipy():
+    a = _random_unit_quats(5, 0)
+    b = _random_unit_quats(5, 1)
+    got = np.asarray(q.multiply(jnp.asarray(a), jnp.asarray(b)))
+    # scipy uses xyzw too; R(a)*R(b) == R(a*b).
+    want = (Rotation.from_quat(a) * Rotation.from_quat(b)).as_quat()
+    # Quaternion double cover: compare up to sign.
+    sign = np.sign(np.sum(got * want, axis=-1, keepdims=True))
+    np.testing.assert_allclose(got, want * sign, rtol=1e-4, atol=1e-5)
+
+
+def test_rotate_matches_rotation_matrix():
+    quats = _random_unit_quats(6, 2)
+    v = np.random.RandomState(3).randn(6, 3).astype(np.float32)
+    got = np.asarray(q.rotate(jnp.asarray(quats), jnp.asarray(v)))
+    want = Rotation.from_quat(quats).apply(v)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # And the explicit matrix conversion agrees.
+    R = np.asarray(q.to_rotation_matrix(jnp.asarray(quats)))
+    np.testing.assert_allclose(np.einsum('bij,bj->bi', R, v), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conjugate_inverse_norm():
+    quats = jnp.asarray(_random_unit_quats(4, 4))
+    inv = q.inverse(quats)
+    prod = np.asarray(q.multiply(quats, inv))
+    np.testing.assert_allclose(prod, np.tile([0, 0, 0, 1.0], (4, 1)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q.norm(quats)), 1.0, atol=1e-6)
+
+
+def test_exp_log_roundtrip():
+    # exp of a pure quaternion [axis*theta/2, 0] is the rotation quat.
+    axis = np.array([[0, 0, 1.0], [1.0, 0, 0]], np.float32)
+    theta = np.array([0.8, 1.2], np.float32)
+    pure = np.concatenate([axis * (theta[:, None] / 2),
+                           np.zeros((2, 1), np.float32)], -1)
+    rot = np.asarray(q.exp(jnp.asarray(pure)))
+    want = Rotation.from_rotvec(axis * theta[:, None]).as_quat()
+    np.testing.assert_allclose(rot, want, rtol=1e-4, atol=1e-5)
+    # log inverts it (imaginary part).
+    back = np.asarray(q.log(jnp.asarray(rot, jnp.float32)))
+    np.testing.assert_allclose(back[:, :3], pure[:, :3], rtol=1e-3, atol=1e-4)
+
+
+def test_from_axis_angle():
+    got = np.asarray(q.from_axis_angle(jnp.asarray([[0., 0., 1.]]),
+                                       jnp.asarray([np.pi / 2])))
+    want = Rotation.from_rotvec([[0, 0, np.pi / 2]]).as_quat()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,73 @@
+"""Unit tests for batched SE(3)/SO(3) math (ops/rigid_body.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from hypernerf_tpu.ops import rigid_body
+
+
+def test_skew_batched_cross_product():
+    rs = np.random.RandomState(0)
+    w = rs.randn(4, 5, 3).astype(np.float32)
+    v = rs.randn(4, 5, 3).astype(np.float32)
+    W = np.asarray(rigid_body.skew(jnp.asarray(w)))
+    assert W.shape == (4, 5, 3, 3)
+    got = np.einsum('...ij,...j->...i', W, v)
+    np.testing.assert_allclose(got, np.cross(w, v), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(W, -np.swapaxes(W, -1, -2), atol=1e-6)
+
+
+def test_exp_so3_matches_scipy():
+    rs = np.random.RandomState(1)
+    axis = rs.randn(6, 3)
+    axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+    theta = rs.rand(6) * np.pi
+    got = np.asarray(rigid_body.exp_so3(jnp.asarray(axis, jnp.float32),
+                                        jnp.asarray(theta, jnp.float32)))
+    want = Rotation.from_rotvec(axis * theta[:, None]).as_matrix()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_exp_se3_pure_translation():
+    # Rotation axis ~0 handled by exp_se3_from_wv: pure translation by v.
+    w = jnp.zeros((3, 3), jnp.float32)
+    v = jnp.asarray(np.random.RandomState(2).randn(3, 3), jnp.float32)
+    T = np.asarray(rigid_body.exp_se3_from_wv(w, v))
+    np.testing.assert_allclose(T[..., :3, :3],
+                               np.tile(np.eye(3), (3, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(T[..., :3, 3], np.asarray(v), atol=1e-5)
+
+
+def test_exp_se3_screw_motion_matches_closed_form():
+    # Unit screw: rotate about z by theta while translating along z.
+    theta = 0.7
+    screw = jnp.asarray([[0, 0, 1, 0, 0, 1.0]], jnp.float32)
+    T = np.asarray(rigid_body.exp_se3(screw, jnp.asarray([theta], jnp.float32)))[0]
+    want_R = Rotation.from_rotvec([0, 0, theta]).as_matrix()
+    np.testing.assert_allclose(T[:3, :3], want_R, rtol=1e-5, atol=1e-6)
+    # G(theta) v for this screw gives translation (0, 0, theta).
+    np.testing.assert_allclose(T[:3, 3], [0, 0, theta], atol=1e-5)
+    np.testing.assert_allclose(T[3], [0, 0, 0, 1], atol=1e-7)
+
+
+def test_transform_points_roundtrip():
+    rs = np.random.RandomState(3)
+    w = rs.randn(8, 3).astype(np.float32) * 0.5
+    v = rs.randn(8, 3).astype(np.float32)
+    pts = rs.randn(8, 3).astype(np.float32)
+    T = rigid_body.exp_se3_from_wv(jnp.asarray(w), jnp.asarray(v))
+    warped = np.asarray(rigid_body.transform_points(T, jnp.asarray(pts)))
+    # Invert: T^-1 @ warped == pts.
+    T_np = np.asarray(T)
+    back = np.einsum('bij,bj->bi', np.linalg.inv(T_np),
+                     np.concatenate([warped, np.ones((8, 1))], -1))[:, :3]
+    np.testing.assert_allclose(back, pts, rtol=1e-3, atol=1e-4)
+
+
+def test_homogenous_helpers():
+    v = jnp.asarray([[1.0, 2.0, 3.0]])
+    h = rigid_body.to_homogenous(v)
+    np.testing.assert_array_equal(np.asarray(h), [[1, 2, 3, 1]])
+    np.testing.assert_allclose(
+        np.asarray(rigid_body.from_homogenous(h * 2.0)), [[1, 2, 3]])
