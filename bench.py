@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: training-step throughput of the flagship HyperNeRF model.
+
+Measures rays/sec/chip of the full jitted+sharded train step (translation
+warp + bendy-sheet slicing, coarse 64 + fine 64 samples — the BASELINE.json
+metric config) on whatever accelerator is attached, and prints ONE JSON line:
+
+  {"metric": "rays_per_sec_per_chip", "value": N, "unit": "rays/s",
+   "vs_baseline": N}
+
+Baseline: the reference's implied 4.1k rays/s on a GTX 2080Ti
+(/root/repo/BASELINE.md, derived from /root/reference/Readme.md:29-41).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_RAYS_PER_SEC = 4100.0  # 1x 2080Ti, BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hypernerf_tpu.configs import NerfConfig, TrainConfig
+    from hypernerf_tpu.models.nerf import NerfModel
+    from hypernerf_tpu.parallel.mesh import create_mesh, replicate
+    from hypernerf_tpu.training.optimizers import get_optimizer
+    from hypernerf_tpu.training.train_state import (create_train_state,
+                                                    make_train_step)
+
+    n_chips = len(jax.devices())
+    batch_size = 4096 * n_chips
+    cfg = NerfConfig(
+        num_embeddings=100,
+        num_coarse_samples=64,
+        num_fine_samples=64,
+        use_warp=True,
+        warp_field_type='translation',
+        hyper_slice_method='bendy_sheet',
+        noise_std=1.0,
+        compute_dtype='bfloat16',
+    )
+    train_cfg = TrainConfig(batch_size=batch_size, lr=5e-4)
+
+    mesh = create_mesh()
+    model = NerfModel(cfg)
+    tx = get_optimizer(train_cfg, steps_per_epoch=1000)
+
+    # Synthetic device-resident ray buffer (throughput is data-independent).
+    n_rays = 1 << 18
+    rs = np.random.RandomState(0)
+    origins = rs.randn(n_rays, 3).astype(np.float32) * 0.1
+    dirs = rs.randn(n_rays, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays = np.concatenate([
+        origins, dirs,
+        np.zeros((n_rays, 1), np.float32),
+        np.ones((n_rays, 1), np.float32),
+        rs.randint(0, 100, (n_rays, 1)).astype(np.float32)], 1)
+    rgbs = rs.rand(n_rays, 3).astype(np.float32)
+
+    state = create_train_state(model, tx, train_cfg, jax.random.PRNGKey(0),
+                               rays[:8])
+    state = replicate(mesh, state)
+    all_rays = replicate(mesh, jnp.asarray(rays))
+    all_rgbs = replicate(mesh, jnp.asarray(rgbs))
+    step_fn = make_train_step(model, tx, cfg, train_cfg, mesh)
+    rng = jax.random.PRNGKey(1)
+
+    # Warmup: compile + 3 steps. (device_get, not block_until_ready: the
+    # remote-tunnel backend can report ready before execution completes, so
+    # force a host readback of a value at the end of the dependency chain.)
+    state, metrics = step_fn(state, all_rays, all_rgbs, rng)
+    jax.device_get(metrics['loss'])
+    for _ in range(3):
+        state, metrics = step_fn(state, all_rays, all_rgbs, rng)
+    jax.device_get(metrics['loss'])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step_fn(state, all_rays, all_rgbs, rng)
+    jax.device_get(metrics['loss'])
+    jax.device_get(jax.tree.leaves(state.params)[0])
+    elapsed = time.perf_counter() - t0
+
+    rays_per_sec = n_steps * batch_size / elapsed
+    rays_per_sec_per_chip = rays_per_sec / n_chips
+    print(json.dumps({
+        'metric': 'rays_per_sec_per_chip',
+        'value': round(rays_per_sec_per_chip, 1),
+        'unit': 'rays/s',
+        'vs_baseline': round(rays_per_sec_per_chip / BASELINE_RAYS_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -95,7 +95,11 @@ class GLOEmbed(nn.Module):
             features=self.features,
             embedding_init=nn.initializers.normal(stddev=0.1 / self.features),
             name='embed')
-        return embed(inputs.astype(jnp.int32))
+        # Clip ids into range: XLA out-of-bounds gathers fill with NaN
+        # silently (torch would raise); clipping fails loud-enough in tests
+        # while keeping the jitted path total.
+        idx = jnp.clip(inputs.astype(jnp.int32), 0, self.num_embeddings - 1)
+        return embed(idx)
 
 
 class NerfMLP(nn.Module):

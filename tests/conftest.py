@@ -53,6 +53,35 @@ def tiny_config():
     return tiny_nerf_config()
 
 
+def make_smooth_llff_scene(tmp_path, n_images=3, w=16, h=12):
+    """A synthetic LLFF scene whose images are smooth gradients — learnable
+    by a tiny NeRF, used for overfit/integration tests."""
+    from PIL import Image
+    img_dir = tmp_path / 'images'
+    img_dir.mkdir(parents=True)
+    poses_bounds = []
+    focal = 20.0
+    yy, xx = np.mgrid[0:h * 4, 0:w * 4].astype(np.float32)
+    for i in range(n_images):
+        r = xx / xx.max()
+        g = yy / yy.max()
+        b = 0.5 + 0.1 * i
+        img = np.stack([r, g, np.full_like(r, b)], -1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            img_dir / f'img_{i:03d}.png')
+        right = np.array([1.0, 0, 0])
+        down = np.array([0, -1.0, 0])
+        back = np.array([0, 0, 1.0])
+        center = np.array([0.05 * (i - 1), 0.02 * (i - 1), 0.0])
+        c2w = np.stack([down, right, back, center], 1)
+        hwf = np.array([[h * 4], [w * 4], [focal * 4]])
+        poses_bounds.append(
+            np.concatenate([np.concatenate([c2w, hwf], 1).reshape(-1),
+                            np.array([2.0, 8.0])]))
+    np.save(tmp_path / 'poses_bounds.npy', np.stack(poses_bounds))
+    return str(tmp_path)
+
+
 def make_rays(n=6, with_idx=True, seed=0, near=0.2, far=2.0, num_ids=4):
     """Random flat ray tensors (N, 8|9)."""
     rs = np.random.RandomState(seed)
