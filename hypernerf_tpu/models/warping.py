@@ -6,7 +6,7 @@ Capability parity with /root/reference/hypernerf/warping.py, rebuilt for TPU:
   warp embed -> MLP depth 6 width 128 skips (4,), Xavier-normal hidden init,
   uniform(0, 1e-4) output init; warped = points + translation. The warp
   Jacobian — a ``NotImplementedError`` in the reference (warping.py:122) — is
-  implemented via ``jax.jacfwd``.
+  implemented via ``jax.jacrev``.
 * ``SE3Field`` (warping.py:128-272): the reference version is unbatched and
   broken (Readme.md:55); this one evaluates per sample with fully batched
   rigid-body math, guards theta -> 0 (the init regime), and feeds the warp
@@ -59,7 +59,7 @@ class TranslationField(nn.Module):
         out = {'warped_points': self.warp(points, embed, extra_params)}
         if return_jacobian:
             # d warped / d points per sample point: (..., 3, 3).
-            jac_fn = jax.jacfwd(self.warp, argnums=0)
+            jac_fn = jax.jacrev(self.warp, argnums=0)
             flat_pts = points.reshape(-1, 3)
             flat_embed = embed.reshape(-1, embed.shape[-1])
             jac = jax.vmap(lambda p, e: jac_fn(p, e, extra_params))(
@@ -113,7 +113,7 @@ class SE3Field(nn.Module):
                  return_jacobian: bool = False):
         out = {'warped_points': self.warp(points, embed, extra_params)}
         if return_jacobian:
-            jac_fn = jax.jacfwd(self.warp, argnums=0)
+            jac_fn = jax.jacrev(self.warp, argnums=0)
             flat_pts = points.reshape(-1, 3)
             flat_embed = embed.reshape(-1, embed.shape[-1])
             jac = jax.vmap(lambda p, e: jac_fn(p, e, extra_params))(

@@ -1,5 +1,12 @@
-"""Unit tests for positional encodings (ops/posenc.py)."""
+"""Unit tests for positional encodings (ops/posenc.py).
 
+The encodings emit block layout [x | sin bands | cos bands] — a pure feature
+permutation of the reference's per-band interleaving (absorbed by the first
+dense layer), chosen for TPU lane utilization. Tests verify against a
+loop-built oracle in that layout, plus the custom VJPs against autodiff.
+"""
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -8,21 +15,18 @@ from hypernerf_tpu.ops.posenc import (posenc, posenc_channels, posenc_orig,
                                       posenc_orig_channels, posenc_window)
 
 
-def _posenc_orig_loop(x, n_freqs):
-    """Brute-force reference: identity + per-band [sin, cos] blocks."""
-    out = [x]
-    for k in range(n_freqs):
-        f = 2.0 ** k
-        out.append(np.sin(f * x))
-        out.append(np.cos(f * x))
-    return np.concatenate(out, axis=-1)
+def _posenc_orig_blocks(x, n_freqs):
+    """Oracle: identity, then all sin bands, then all cos bands."""
+    sins = [np.sin(2.0 ** k * x) for k in range(n_freqs)]
+    coss = [np.cos(2.0 ** k * x) for k in range(n_freqs)]
+    return np.concatenate([x] + sins + coss, axis=-1)
 
 
-def test_posenc_orig_matches_loop_reference():
+def test_posenc_orig_matches_oracle():
     x = np.random.RandomState(0).randn(5, 7, 3).astype(np.float32)
     got = np.asarray(posenc_orig(jnp.asarray(x), 10))
-    want = _posenc_orig_loop(x, 10)
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, _posenc_orig_blocks(x, 10), rtol=1e-5,
+                               atol=1e-5)
 
 
 def test_posenc_orig_channels():
@@ -38,6 +42,32 @@ def test_posenc_orig_zero_freqs_is_identity():
     np.testing.assert_array_equal(np.asarray(posenc_orig(x, 0)), np.asarray(x))
 
 
+def test_posenc_orig_is_permutation_of_interleaved():
+    """Same multiset of features as the reference's interleaved layout."""
+    x = np.random.RandomState(1).randn(4, 3).astype(np.float32)
+    ours = np.sort(np.asarray(posenc_orig(jnp.asarray(x), 6)), axis=-1)
+    interleaved = [x]
+    for k in range(6):
+        interleaved += [np.sin(2.0 ** k * x), np.cos(2.0 ** k * x)]
+    theirs = np.sort(np.concatenate(interleaved, -1), axis=-1)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_posenc_orig_custom_vjp_matches_autodiff():
+    def plain(x):
+        sins = [jnp.sin(2.0 ** k * x) for k in range(5)]
+        coss = [jnp.cos(2.0 ** k * x) for k in range(5)]
+        return jnp.concatenate([x] + sins + coss, -1)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(7, 3).astype(np.float32))
+    g = jnp.asarray(np.random.RandomState(1).randn(7, 33).astype(np.float32))
+    _, vjp_custom = jax.vjp(lambda x: posenc_orig(x, 5), x)
+    _, vjp_plain = jax.vjp(plain, x)
+    np.testing.assert_allclose(np.asarray(vjp_custom(g)[0]),
+                               np.asarray(vjp_plain(g)[0]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_posenc_nerfies_shapes_and_identity():
     x = jnp.ones((4, 3)) * 0.2
     out = posenc(x, 0, 8, use_identity=False)
@@ -48,14 +78,15 @@ def test_posenc_nerfies_shapes_and_identity():
 
 
 def test_posenc_sin_cos_structure():
-    # Band k block is [sin(2^k x), cos(2^k x)] per channel.
+    # Block k of the sin half is sin(2^k x); cos half likewise.
     x = jnp.asarray([[0.3, -0.1, 0.7]])
     out = np.asarray(posenc(x, 0, 4))
-    out = out.reshape(1, 4, 2, 3)
+    sin_half = out[:, :12].reshape(1, 4, 3)
+    cos_half = out[:, 12:].reshape(1, 4, 3)
     for k in range(4):
-        np.testing.assert_allclose(out[0, k, 0], np.sin(2.0 ** k * x[0]),
+        np.testing.assert_allclose(sin_half[0, k], np.sin(2.0 ** k * x[0]),
                                    rtol=1e-6)
-        np.testing.assert_allclose(out[0, k, 1], np.cos(2.0 ** k * x[0]),
+        np.testing.assert_allclose(cos_half[0, k], np.cos(2.0 ** k * x[0]),
                                    rtol=1e-5, atol=1e-6)
 
 
@@ -76,10 +107,35 @@ def test_posenc_window_limits():
 def test_posenc_windowed_annealing_zeroes_high_bands():
     x = jnp.ones((2, 3)) * 0.4
     out = np.asarray(posenc(x, 0, 8, alpha=jnp.float32(2.0)))
-    out = out.reshape(2, 8, 2, 3)
+    sin_half = out[:, :24].reshape(2, 8, 3)
+    cos_half = out[:, 24:].reshape(2, 8, 3)
     # Bands >= 2 fully suppressed at alpha=2.
-    np.testing.assert_allclose(out[:, 2:], np.zeros_like(out[:, 2:]),
-                               atol=1e-7)
+    np.testing.assert_allclose(sin_half[:, 2:], 0.0, atol=1e-7)
+    np.testing.assert_allclose(cos_half[:, 2:], 0.0, atol=1e-7)
     # Bands < 2 untouched.
-    ref = np.asarray(posenc(x, 0, 8)).reshape(2, 8, 2, 3)
-    np.testing.assert_allclose(out[:, :2], ref[:, :2], rtol=1e-6)
+    ref = np.asarray(posenc(x, 0, 8))
+    np.testing.assert_allclose(out[:, :6].reshape(2, 2, 3),
+                               ref[:, :6].reshape(2, 2, 3), rtol=1e-6)
+
+
+def test_posenc_nerfies_custom_vjp_matches_autodiff():
+    def plain(x, alpha):
+        scales = 2.0 ** jnp.arange(0, 6, dtype=x.dtype)
+        window = 0.5 * (1 - jnp.cos(
+            jnp.pi * jnp.clip(alpha - jnp.arange(0, 6, dtype=x.dtype), 0, 1)))
+        sins = [window[k] * jnp.sin(scales[k] * x) for k in range(6)]
+        coss = [window[k] * jnp.cos(scales[k] * x) for k in range(6)]
+        return jnp.concatenate([x] + sins + coss, -1)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(5, 3).astype(np.float32))
+    alpha = jnp.float32(2.7)
+    out = posenc(x, 0, 6, use_identity=True, alpha=alpha)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain(x, alpha)),
+                               rtol=1e-5, atol=1e-6)
+    g = jnp.asarray(np.random.RandomState(1).randn(5, 39).astype(np.float32))
+    _, vjp_custom = jax.vjp(
+        lambda x: posenc(x, 0, 6, use_identity=True, alpha=alpha), x)
+    _, vjp_plain = jax.vjp(lambda x: plain(x, alpha), x)
+    np.testing.assert_allclose(np.asarray(vjp_custom(g)[0]),
+                               np.asarray(vjp_plain(g)[0]),
+                               rtol=1e-4, atol=1e-5)
