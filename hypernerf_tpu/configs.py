@@ -88,6 +88,10 @@ class NerfConfig:
     # Compute dtype for the MLP matmuls ('bfloat16' keeps the MXU fed;
     # params, encodings and compositing stay fp32).
     compute_dtype: str = 'bfloat16'
+    # Run the template MLP through the fused Pallas kernel on TPU backends
+    # (falls back to the XLA path on CPU / for init automatically).
+    use_pallas: bool = True
+    pallas_tile: int = 512
 
     def __post_init__(self):
         if self.hyper_slice_method not in ('none', 'axis_aligned_plane',

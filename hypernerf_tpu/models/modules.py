@@ -107,6 +107,11 @@ class NerfMLP(nn.Module):
 
     Returns raw (unactivated) rgb logits and alpha; the caller applies
     sigmoid/softplus (and sigma noise) in fp32.
+
+    With ``use_pallas`` on a TPU backend, evaluation runs through the fused
+    Pallas kernel (ops/pallas/fused_mlp.py): all weights VMEM-resident,
+    activations never touch HBM, recompute-based backward. The Dense path
+    below remains the init path, the CPU path, and the parity reference.
     """
     trunk_depth: int = 8
     trunk_width: int = 256
@@ -117,6 +122,47 @@ class NerfMLP(nn.Module):
     skips: Tuple[int, ...] = (4,)
     hidden_activation: Callable = nn.relu
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+    pallas_tile: int = 512
+
+    def _pallas_path(self, x, alpha_condition, rgb_condition):
+        import jax
+
+        from hypernerf_tpu.ops.pallas.fused_mlp import (FusedMLPSpec,
+                                                        fused_nerf_mlp,
+                                                        nerf_mlp_params_to_list)
+        batch_shape = x.shape[:-1]
+        n_samples = x.shape[-2]
+        x_flat = x.reshape(-1, x.shape[-1])
+
+        def flat_cond(c):
+            c = jnp.broadcast_to(c[..., None, :],
+                                 (*batch_shape, c.shape[-1]))
+            return c.reshape(-1, c.shape[-1])
+
+        rgbc_flat = flat_cond(rgb_condition)
+        alphac_flat = (flat_cond(alpha_condition)
+                       if alpha_condition is not None else None)
+        spec = FusedMLPSpec(
+            in_ch=x.shape[-1],
+            trunk_depth=self.trunk_depth,
+            trunk_width=self.trunk_width,
+            rgb_depth=self.rgb_branch_depth,
+            rgb_width=self.rgb_branch_width,
+            rgb_channels=self.rgb_channels,
+            alpha_channels=self.alpha_channels,
+            skips=tuple(self.skips),
+            rgb_cond_ch=rgb_condition.shape[-1],
+            alpha_cond_ch=(alpha_condition.shape[-1]
+                           if alpha_condition is not None else 0),
+            tile=self.pallas_tile,
+            compute_dtype=str(jnp.dtype(self.dtype)),
+        )
+        pairs = nerf_mlp_params_to_list(self.variables['params'])
+        out = fused_nerf_mlp(spec, x_flat, rgbc_flat, alphac_flat, pairs)
+        return {'rgb': out['rgb'].reshape(*batch_shape, self.rgb_channels),
+                'alpha': out['alpha'].reshape(*batch_shape,
+                                              self.alpha_channels)}
 
     @nn.compact
     def __call__(self, x, alpha_condition=None, rgb_condition=None):
@@ -130,6 +176,11 @@ class NerfMLP(nn.Module):
         Returns:
           {'rgb': (B, S, 3) raw logits, 'alpha': (B, S, 1) raw density}.
         """
+        import jax as _jax
+        if (self.use_pallas and not self.is_initializing()
+                and rgb_condition is not None
+                and _jax.default_backend() == 'tpu'):
+            return self._pallas_path(x, alpha_condition, rgb_condition)
         num_samples = x.shape[-2]
 
         def broadcast_condition(c):

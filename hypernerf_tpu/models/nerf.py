@@ -97,6 +97,8 @@ class NerfModel(nn.Module):
             rgb_channels=cfg.rgb_channels,
             alpha_channels=cfg.alpha_channels,
             skips=cfg.skips,
+            use_pallas=cfg.use_pallas,
+            pallas_tile=cfg.pallas_tile,
             dtype=dtype)
         self.nerf_mlp_coarse = NerfMLP(name='nerf_coarse', **template_kwargs)
         if cfg.num_fine_samples > 0:

@@ -1,0 +1,579 @@
+"""Fused NeRF template MLP as a single Pallas TPU kernel.
+
+The NerfMLP (trunk -> bottleneck -> alpha head + rgb branch,
+models/modules.py) dominates the training FLOPs, but its XLA form streams
+every activation tensor through HBM: at 8192 rays x 192 samples the trunk
+alone moves ~10GB per step, and the backward re-reads all of it. All the
+weights together are <1MB — they fit in VMEM many times over. So the whole
+template is evaluated here as ONE kernel over tiles of sample points: weights
+stay resident in VMEM across the grid, activations never touch HBM, and the
+backward pass recomputes the forward per tile (flash-attention style) while
+accumulating fp32 weight gradients in revisited output blocks.
+
+Layout notes:
+* All feature dims are zero-padded to multiples of 128 (the TPU lane width);
+  zero rows/cols make padding exact (padded hidden units stay identically 0
+  through ReLU and contribute nothing downstream).
+* Output is a packed (P, 8) tile [rgb(3) | alpha(1) | 0...] so no wide padded
+  tensor ever reaches HBM.
+* The backward emits dX, per-sample condition gradients, and per-layer
+  fp32 dW/db accumulated across the sequential TPU grid.
+
+The pure-jnp reference lives in models/modules.py (NerfMLP); tests check this
+kernel against it in interpret mode (CPU) and compiled (TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+HEAD_PAD = 8  # rgb (3) / alpha (1) heads padded to 8 output columns
+
+
+def _rup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class FusedMLPSpec(NamedTuple):
+    """Static configuration of the fused template (hashable)."""
+    in_ch: int
+    trunk_depth: int = 8
+    trunk_width: int = 256
+    rgb_depth: int = 4
+    rgb_width: int = 128
+    rgb_channels: int = 3
+    alpha_channels: int = 1
+    skips: Tuple[int, ...] = (4,)
+    rgb_cond_ch: int = 39
+    alpha_cond_ch: int = 0
+    tile: int = 512
+    interpret: bool = False
+    compute_dtype: str = 'bfloat16'
+
+    @property
+    def in_pad(self):
+        return _rup(self.in_ch, LANE)
+
+    @property
+    def tw(self):
+        return _rup(self.trunk_width, LANE)
+
+    @property
+    def bw(self):
+        return _rup(self.trunk_width // 2, LANE)
+
+    @property
+    def rw(self):
+        return _rup(self.rgb_width, LANE)
+
+    @property
+    def rc(self):
+        return _rup(self.rgb_cond_ch, LANE)
+
+    @property
+    def ac(self):
+        return _rup(self.alpha_cond_ch, LANE) if self.alpha_cond_ch else 0
+
+
+def _layer_defs(spec: FusedMLPSpec):
+    """Ordered (name, row_segments, out_pad) for every dense layer.
+
+    row_segments is a list of (orig_rows, padded_rows) pairs describing how
+    the original kernel's input rows map into the padded input layout.
+    """
+    s = spec
+    bw_orig = s.trunk_width // 2
+    defs = []
+    # trunk hidden layers
+    for i in range(s.trunk_depth):
+        segs = [(s.in_ch, s.in_pad)] if i == 0 else [(s.trunk_width, s.tw)]
+        if i > 0 and (i - 1) in s.skips:
+            segs.append((s.in_ch, s.in_pad))
+        defs.append((f'trunk_{i}', segs, s.tw))
+    # trunk logit (relu output)
+    segs = [(s.trunk_width, s.tw)]
+    if (s.trunk_depth - 1) in s.skips:
+        segs.append((s.in_ch, s.in_pad))
+    defs.append(('trunk_logit', segs, s.tw))
+    # bottleneck
+    defs.append(('bottleneck', [(s.trunk_width, s.tw)], s.bw))
+    # alpha head
+    segs = [(bw_orig, s.bw)]
+    if s.alpha_cond_ch:
+        segs.append((s.alpha_cond_ch, s.ac))
+    defs.append(('alpha_head', segs, HEAD_PAD))
+    # rgb branch
+    rin_segs = [(bw_orig, s.bw), (s.rgb_cond_ch, s.rc)]
+    for j in range(s.rgb_depth):
+        segs = list(rin_segs) if j == 0 else [(s.rgb_width, s.rw)]
+        if j > 0 and (j - 1) in s.skips:
+            segs.extend(rin_segs)
+        defs.append((f'rgb_{j}', segs, s.rw))
+    segs = [(s.rgb_width, s.rw)]
+    if (s.rgb_depth - 1) in s.skips:
+        segs.extend(rin_segs)
+    defs.append(('rgb_logit', segs, HEAD_PAD))
+    return defs
+
+
+def nerf_mlp_params_to_list(params) -> list:
+    """Flatten a NerfMLP param tree (models/modules.py) into the fused
+    kernel's (W, b) list ordering."""
+    out = []
+    trunk = params['trunk']
+    depth = len([k for k in trunk if k.startswith('hidden_')])
+    for i in range(depth):
+        out.append((trunk[f'hidden_{i}']['kernel'], trunk[f'hidden_{i}']['bias']))
+    out.append((trunk['logit']['kernel'], trunk['logit']['bias']))
+    out.append((params['bottleneck']['kernel'], params['bottleneck']['bias']))
+    out.append((params['alpha_head']['kernel'], params['alpha_head']['bias']))
+    rgb = params['rgb_branch']
+    rgb_depth = len([k for k in rgb if k.startswith('hidden_')])
+    for j in range(rgb_depth):
+        out.append((rgb[f'hidden_{j}']['kernel'], rgb[f'hidden_{j}']['bias']))
+    out.append((rgb['logit']['kernel'], rgb['logit']['bias']))
+    return out
+
+
+def list_to_nerf_mlp_params(pairs, template) -> dict:
+    """Inverse of nerf_mlp_params_to_list, shaped like ``template``."""
+    trunk = template['trunk']
+    depth = len([k for k in trunk if k.startswith('hidden_')])
+    rgb = template['rgb_branch']
+    rgb_depth = len([k for k in rgb if k.startswith('hidden_')])
+    it = iter(pairs)
+    out = {'trunk': {}, 'rgb_branch': {}}
+    for i in range(depth):
+        w, b = next(it)
+        out['trunk'][f'hidden_{i}'] = {'kernel': w, 'bias': b}
+    w, b = next(it)
+    out['trunk']['logit'] = {'kernel': w, 'bias': b}
+    w, b = next(it)
+    out['bottleneck'] = {'kernel': w, 'bias': b}
+    w, b = next(it)
+    out['alpha_head'] = {'kernel': w, 'bias': b}
+    for j in range(rgb_depth):
+        w, b = next(it)
+        out['rgb_branch'][f'hidden_{j}'] = {'kernel': w, 'bias': b}
+    w, b = next(it)
+    out['rgb_branch']['logit'] = {'kernel': w, 'bias': b}
+    return out
+
+
+def _pad_weight(w, segs, out_pad, out_orig):
+    """Pad kernel rows by segment layout and columns to out_pad (zeros)."""
+    rows = []
+    start = 0
+    for orig, pad in segs:
+        piece = w[start:start + orig]
+        rows.append(jnp.pad(piece, ((0, pad - orig), (0, 0))))
+        start += orig
+    wp = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    return jnp.pad(wp, ((0, 0), (0, out_pad - out_orig)))
+
+
+def _pad_params(spec: FusedMLPSpec, pairs):
+    """Pad all (W, b) pairs to the kernel layout, cast to the compute dtype."""
+    defs = _layer_defs(spec)
+    assert len(defs) == len(pairs), (len(defs), len(pairs))
+    dt = jnp.dtype(spec.compute_dtype)
+    padded = []
+    for (name, segs, out_pad), (w, b) in zip(defs, pairs):
+        out_orig = w.shape[1]
+        wp = _pad_weight(w, segs, out_pad, out_orig).astype(dt)
+        bp = jnp.pad(b, (0, out_pad - out_orig)).astype(dt)[None, :]
+        padded.append((wp, bp))
+    return padded
+
+
+def _dot(a, w):
+    return jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_t(g, w):
+    """g @ w^T via contraction on the output dim."""
+    return jax.lax.dot_general(g, w, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_acc(h, g):
+    """h^T @ g (weight gradient) in fp32."""
+    return jax.lax.dot_general(h, g, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs):
+    """Shared forward over one tile; returns (rgb, alpha, stash).
+
+    x: (T, in_pad) bf16; rgbc: (T, rc) bf16; alphac: (T, ac) bf16 or None.
+    stash holds per-layer (input, post-relu output) for the backward.
+    """
+    s = spec
+    bf = jnp.dtype(s.compute_dtype)
+    idx = 0
+    stash = {'trunk_ins': [], 'trunk_outs': [], 'rgb_ins': [], 'rgb_outs': []}
+
+    h = x
+    for i in range(s.trunk_depth):
+        w, b = wbs[idx]; idx += 1
+        stash['trunk_ins'].append(h)
+        h = jnp.maximum(_dot(h, w) + b.astype(jnp.float32), 0.0).astype(bf)
+        stash['trunk_outs'].append(h)
+        if i in s.skips:
+            h = jnp.concatenate([h, x], axis=-1)
+    w, b = wbs[idx]; idx += 1
+    stash['tl_in'] = h
+    hl = jnp.maximum(_dot(h, w) + b.astype(jnp.float32), 0.0).astype(bf)
+    stash['hl'] = hl
+    w, b = wbs[idx]; idx += 1
+    bneck = (_dot(hl, w) + b.astype(jnp.float32)).astype(bf)
+    stash['bneck'] = bneck
+
+    a_in = bneck if alphac is None else jnp.concatenate([bneck, alphac], -1)
+    stash['a_in'] = a_in
+    w, b = wbs[idx]; idx += 1
+    alpha = _dot(a_in, w) + b.astype(jnp.float32)  # (T, HEAD_PAD) fp32
+
+    r_in = jnp.concatenate([bneck, rgbc], axis=-1)
+    stash['r_in'] = r_in
+    g = r_in
+    for j in range(s.rgb_depth):
+        w, b = wbs[idx]; idx += 1
+        stash['rgb_ins'].append(g)
+        g = jnp.maximum(_dot(g, w) + b.astype(jnp.float32), 0.0).astype(bf)
+        stash['rgb_outs'].append(g)
+        if j in s.skips:
+            g = jnp.concatenate([g, r_in], axis=-1)
+    w, b = wbs[idx]; idx += 1
+    stash['rl_in'] = g
+    rgb = _dot(g, w) + b.astype(jnp.float32)  # (T, HEAD_PAD) fp32
+    return rgb, alpha, stash
+
+
+def _make_fwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
+    def kernel(*refs):
+        x_ref, rgbc_ref = refs[0], refs[1]
+        off = 2
+        alphac_ref = refs[off] if has_ac else None
+        off += 1 if has_ac else 0
+        wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
+               for k in range(n_layers)]
+        out_ref = refs[off + 2 * n_layers]
+        alphac = alphac_ref[:] if has_ac else None
+        rgb, alpha, _ = _forward_tile(spec, x_ref[:], rgbc_ref[:], alphac, wbs)
+        out = jnp.concatenate(
+            [rgb[:, :spec.rgb_channels],
+             alpha[:, :spec.alpha_channels],
+             jnp.zeros((rgb.shape[0],
+                        8 - spec.rgb_channels - spec.alpha_channels),
+                       jnp.float32)], axis=-1)
+        out_ref[:] = out
+    return kernel
+
+
+def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
+    s = spec
+    bf = jnp.dtype(s.compute_dtype)
+
+    def kernel(*refs):
+        x_ref, rgbc_ref = refs[0], refs[1]
+        off = 2
+        alphac_ref = refs[off] if has_ac else None
+        off += 1 if has_ac else 0
+        g_ref = refs[off]; off += 1
+        wb_refs = refs[off:off + 2 * n_layers]
+        wbs = [(wb_refs[2 * k][:], wb_refs[2 * k + 1][:])
+               for k in range(n_layers)]
+        out_off = off + 2 * n_layers
+        dx_ref = refs[out_off]
+        drgbc_ref = refs[out_off + 1]
+        o = out_off + 2
+        dalphac_ref = refs[o] if has_ac else None
+        o += 1 if has_ac else 0
+        dwb_refs = refs[o:o + 2 * n_layers]
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            for r in dwb_refs:
+                r[:] = jnp.zeros(r.shape, r.dtype)
+
+        alphac = alphac_ref[:] if has_ac else None
+        x = x_ref[:]
+        rgbc = rgbc_ref[:]
+        _, _, st = _forward_tile(s, x, rgbc, alphac, wbs)
+
+        tpad = 8 - s.rgb_channels - s.alpha_channels
+        g_all = g_ref[:]  # (T, 8) fp32
+        t = g_all.shape[0]
+        g_rgb = jnp.concatenate(
+            [g_all[:, :s.rgb_channels],
+             jnp.zeros((t, HEAD_PAD - s.rgb_channels), jnp.float32)], -1)
+        g_alpha = jnp.concatenate(
+            [g_all[:, s.rgb_channels:s.rgb_channels + s.alpha_channels],
+             jnp.zeros((t, HEAD_PAD - s.alpha_channels), jnp.float32)], -1)
+
+        def acc(k, dw, db):
+            dwb_refs[2 * k][:] += dw
+            dwb_refs[2 * k + 1][:] += db
+
+        # --- rgb logit ---
+        k = n_layers - 1
+        g_rgb_b = g_rgb.astype(bf)
+        acc(k, _dot_acc(st['rl_in'], g_rgb_b),
+            jnp.sum(g_rgb, axis=0, keepdims=True))
+        gg = _dot_t(g_rgb_b, wbs[k][0]).astype(bf)
+
+        rin_w = s.bw + s.rc
+        g_rin_acc = jnp.zeros((t, rin_w), jnp.float32)
+        if (s.rgb_depth - 1) in s.skips:
+            g_rin_acc += gg[:, s.rw:].astype(jnp.float32)
+            gg = gg[:, :s.rw]
+        # --- rgb hidden layers ---
+        for j in range(s.rgb_depth - 1, -1, -1):
+            k = n_layers - 1 - (s.rgb_depth - j)
+            gg = jnp.where(st['rgb_outs'][j] > 0, gg, 0).astype(bf)
+            acc(k, _dot_acc(st['rgb_ins'][j], gg),
+                jnp.sum(gg.astype(jnp.float32), axis=0, keepdims=True))
+            gg = _dot_t(gg, wbs[k][0]).astype(bf)
+            if j > 0 and (j - 1) in s.skips:
+                g_rin_acc += gg[:, s.rw:].astype(jnp.float32)
+                gg = gg[:, :s.rw]
+        g_rin_acc += gg.astype(jnp.float32)  # (T, bw + rc)
+
+        g_b = g_rin_acc[:, :s.bw]
+        drgbc_ref[:] = g_rin_acc[:, s.bw:].astype(drgbc_ref.dtype)
+
+        # --- alpha head ---
+        k_alpha = s.trunk_depth + 2
+        g_alpha_b = g_alpha.astype(bf)
+        acc(k_alpha, _dot_acc(st['a_in'], g_alpha_b),
+            jnp.sum(g_alpha, axis=0, keepdims=True))
+        ga = _dot_t(g_alpha_b, wbs[k_alpha][0]).astype(jnp.float32)
+        g_b = g_b + ga[:, :s.bw]
+        if has_ac:
+            dalphac_ref[:] = ga[:, s.bw:].astype(dalphac_ref.dtype)
+
+        # --- bottleneck ---
+        k_bn = s.trunk_depth + 1
+        g_b_bf = g_b.astype(bf)
+        acc(k_bn, _dot_acc(st['hl'], g_b_bf),
+            jnp.sum(g_b, axis=0, keepdims=True))
+        g_hl = _dot_t(g_b_bf, wbs[k_bn][0]).astype(jnp.float32)
+
+        # --- trunk logit (relu) ---
+        k_tl = s.trunk_depth
+        g_hl = jnp.where(st['hl'] > 0, g_hl, 0).astype(bf)
+        acc(k_tl, _dot_acc(st['tl_in'], g_hl),
+            jnp.sum(g_hl.astype(jnp.float32), axis=0, keepdims=True))
+        gh = _dot_t(g_hl, wbs[k_tl][0]).astype(bf)
+
+        g_x_acc = jnp.zeros((t, s.in_pad), jnp.float32)
+        if (s.trunk_depth - 1) in s.skips:
+            g_x_acc += gh[:, s.tw:].astype(jnp.float32)
+            gh = gh[:, :s.tw]
+        # --- trunk hidden layers ---
+        for i in range(s.trunk_depth - 1, -1, -1):
+            gh = jnp.where(st['trunk_outs'][i] > 0, gh, 0).astype(bf)
+            acc(i, _dot_acc(st['trunk_ins'][i], gh),
+                jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
+            gh = _dot_t(gh, wbs[i][0]).astype(bf)
+            if i > 0 and (i - 1) in s.skips:
+                g_x_acc += gh[:, s.tw:].astype(jnp.float32)
+                gh = gh[:, :s.tw]
+        g_x_acc += gh.astype(jnp.float32)
+        dx_ref[:] = g_x_acc.astype(dx_ref.dtype)
+    return kernel
+
+
+def _fwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs):
+    s = spec
+    p = x_pad.shape[0]
+    n_tiles = p // s.tile
+    n_layers = len(padded_wbs)
+    has_ac = alphac_pad is not None
+
+    data_in = [x_pad, rgbc_pad] + ([alphac_pad] if has_ac else [])
+    data_specs = [
+        pl.BlockSpec((s.tile, x_pad.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s.tile, rgbc_pad.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_ac:
+        data_specs.append(pl.BlockSpec((s.tile, alphac_pad.shape[1]),
+                                       lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM))
+    w_in, w_specs = [], []
+    for w, b in padded_wbs:
+        w_in += [w, b]
+        w_specs += [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    out = pl.pallas_call(
+        _make_fwd_kernel(s, n_layers, has_ac),
+        grid=(n_tiles,),
+        in_specs=data_specs + w_specs,
+        out_specs=pl.BlockSpec((s.tile, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, 8), jnp.float32),
+        interpret=s.interpret,
+    )(*data_in, *w_in)
+    return out
+
+
+def _bwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g):
+    s = spec
+    p = x_pad.shape[0]
+    n_tiles = p // s.tile
+    n_layers = len(padded_wbs)
+    has_ac = alphac_pad is not None
+
+    data_in = [x_pad, rgbc_pad] + ([alphac_pad] if has_ac else []) + [g]
+    data_specs = [
+        pl.BlockSpec((s.tile, x_pad.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s.tile, rgbc_pad.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_ac:
+        data_specs.append(pl.BlockSpec((s.tile, alphac_pad.shape[1]),
+                                       lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM))
+    data_specs.append(pl.BlockSpec((s.tile, 8), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM))
+    w_in, w_specs = [], []
+    for w, b in padded_wbs:
+        w_in += [w, b]
+        w_specs += [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((p, x_pad.shape[1]), jnp.float32),   # dx
+        jax.ShapeDtypeStruct((p, rgbc_pad.shape[1]), jnp.float32),  # drgbc
+    ]
+    out_specs = [
+        pl.BlockSpec((s.tile, x_pad.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s.tile, rgbc_pad.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_ac:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((p, alphac_pad.shape[1]), jnp.float32))
+        out_specs.append(pl.BlockSpec((s.tile, alphac_pad.shape[1]),
+                                      lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    for w, b in padded_wbs:
+        out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(b.shape, jnp.float32)]
+        out_specs += [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(s, n_layers, has_ac),
+        grid=(n_tiles,),
+        in_specs=data_specs + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=s.interpret,
+    )(*data_in, *w_in)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused(spec, x_pad, rgbc_pad, alphac_pad, padded_flat):
+    padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
+                  for k in range(len(padded_flat) // 2)]
+    return _fwd_call(spec, x_pad, rgbc_pad, alphac_pad, padded_wbs)
+
+
+def _fused_fwd(spec, x_pad, rgbc_pad, alphac_pad, padded_flat):
+    return (_fused(spec, x_pad, rgbc_pad, alphac_pad, padded_flat),
+            (x_pad, rgbc_pad, alphac_pad, padded_flat))
+
+
+def _fused_bwd(spec, res, g):
+    x_pad, rgbc_pad, alphac_pad, padded_flat = res
+    padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
+                  for k in range(len(padded_flat) // 2)]
+    outs = _bwd_call(spec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g)
+    has_ac = alphac_pad is not None
+    dx = outs[0].astype(x_pad.dtype)
+    drgbc = outs[1].astype(rgbc_pad.dtype)
+    o = 2
+    dalphac = outs[o].astype(alphac_pad.dtype) if has_ac else None
+    o += 1 if has_ac else 0
+    dflat = tuple(outs[o + k].astype(padded_flat[k].dtype)
+                  for k in range(len(padded_flat)))
+    return dx, drgbc, dalphac, dflat
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _unpad_weight_grad(dwp, segs, out_orig):
+    """Extract the original-rows/cols gradient from a padded dW."""
+    rows = []
+    start = 0
+    for orig, pad in segs:
+        rows.append(dwp[start:start + orig])
+        start += pad
+    dw = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    return dw[:, :out_orig]
+
+
+def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs):
+    """Fused template evaluation.
+
+    Args:
+      spec: static FusedMLPSpec (in_ch, depths, widths, cond dims, tile).
+      x: (P, in_ch) encoded sample features (any float dtype).
+      rgb_cond: (P, rgb_cond_ch) per-sample rgb condition features.
+      alpha_cond: (P, alpha_cond_ch) or None.
+      pairs: list of (W, b) in nerf_mlp_params_to_list order (unpadded fp32).
+
+    Returns:
+      {'rgb': (P, rgb_channels), 'alpha': (P, alpha_channels)} raw fp32
+      outputs (activations applied by the caller, matching NerfMLP).
+    """
+    s = spec
+    p = x.shape[0]
+    p_pad = _rup(p, s.tile)
+
+    def pad_rows(a):
+        return jnp.pad(a, ((0, p_pad - p), (0, 0))) if p_pad != p else a
+
+    dt = jnp.dtype(s.compute_dtype)
+    x_pad = pad_rows(jnp.pad(x.astype(dt),
+                             ((0, 0), (0, s.in_pad - s.in_ch))))
+    rgbc_pad = pad_rows(jnp.pad(rgb_cond.astype(dt),
+                                ((0, 0), (0, s.rc - s.rgb_cond_ch))))
+    if s.alpha_cond_ch:
+        alphac_pad = pad_rows(jnp.pad(alpha_cond.astype(dt),
+                                      ((0, 0), (0, s.ac - s.alpha_cond_ch))))
+    else:
+        alphac_pad = None
+
+    padded = _pad_params(s, pairs)
+    padded_flat = tuple(a for wb in padded for a in wb)
+    out = _fused(s, x_pad, rgbc_pad, alphac_pad, padded_flat)
+    out = out[:p]
+    return {'rgb': out[:, :s.rgb_channels],
+            'alpha': out[:, s.rgb_channels:s.rgb_channels + s.alpha_channels]}
