@@ -14,6 +14,9 @@ import os
 
 
 def main():
+    from hypernerf_tpu.utils.platform import apply_platform_overrides
+    apply_platform_overrides()
+
     from hypernerf_tpu.opt import configs_from_args, get_opts
     args = get_opts(eval_mode=True)
 

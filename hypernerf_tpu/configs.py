@@ -175,6 +175,10 @@ class TrainConfig:
     val_check_interval: float = 0.25
     num_sanity_val_steps: int = 1
     log_every: int = 100
+    # Trace steps [profile_start, profile_start + profile_steps) with
+    # jax.profiler into <log_dir>/<exp_name>/profile (0 disables).
+    profile_steps: int = 0
+    profile_start: int = 10
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -342,7 +342,8 @@ def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
         # --- rgb hidden layers ---
         for j in range(s.rgb_depth - 1, -1, -1):
             k = n_layers - 1 - (s.rgb_depth - j)
-            gg = jnp.where(st['rgb_outs'][j] > 0, gg, 0).astype(bf)
+            gg = jnp.where(st['rgb_outs'][j].astype(jnp.float32) > 0,
+                           gg, 0).astype(bf)
             acc(k, _dot_acc(st['rgb_ins'][j], gg),
                 jnp.sum(gg.astype(jnp.float32), axis=0, keepdims=True))
             gg = _dot_t(gg, wbs[k][0]).astype(bf)
@@ -373,7 +374,8 @@ def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
 
         # --- trunk logit (relu) ---
         k_tl = s.trunk_depth
-        g_hl = jnp.where(st['hl'] > 0, g_hl, 0).astype(bf)
+        g_hl = jnp.where(st['hl'].astype(jnp.float32) > 0,
+                         g_hl, 0).astype(bf)
         acc(k_tl, _dot_acc(st['tl_in'], g_hl),
             jnp.sum(g_hl.astype(jnp.float32), axis=0, keepdims=True))
         gh = _dot_t(g_hl, wbs[k_tl][0]).astype(bf)
@@ -384,7 +386,8 @@ def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
             gh = gh[:, :s.tw]
         # --- trunk hidden layers ---
         for i in range(s.trunk_depth - 1, -1, -1):
-            gh = jnp.where(st['trunk_outs'][i] > 0, gh, 0).astype(bf)
+            gh = jnp.where(st['trunk_outs'][i].astype(jnp.float32) > 0,
+                           gh, 0).astype(bf)
             acc(i, _dot_acc(st['trunk_ins'][i], gh),
                 jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
             gh = _dot_t(gh, wbs[i][0]).astype(bf)

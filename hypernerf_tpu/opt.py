@@ -133,6 +133,10 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--val_check_interval', type=float, default=0.25)
+    parser.add_argument('--profile_steps', type=int, default=0,
+                        help='trace this many train steps with jax.profiler '
+                             '(0 disables)')
+    parser.add_argument('--profile_start', type=int, default=10)
 
     if eval_mode:
         parser.add_argument('--scene_name', type=str, default='test',
@@ -206,5 +210,7 @@ def configs_from_args(args) -> tuple:
         seed=getattr(args, 'seed', 0),
         log_every=getattr(args, 'log_every', 100),
         val_check_interval=getattr(args, 'val_check_interval', 0.25),
+        profile_steps=getattr(args, 'profile_steps', 0),
+        profile_start=getattr(args, 'profile_start', 10),
     )
     return nerf_cfg, train_cfg

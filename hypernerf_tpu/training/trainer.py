@@ -144,12 +144,23 @@ class Trainer:
         if cfg.num_sanity_val_steps > 0 and start_step == 0:
             self.validate(step=0, log_images=True)
 
+        profiling = False
         t0 = time.time()
         rays_done = 0
         last_metrics = {}
         for step in range(start_step, self.total_steps):
+            # jax.profiler tracing window (the reference's PL profiler
+            # equivalent, SURVEY.md §5): view with tensorboard --logdir.
+            if cfg.profile_steps > 0 and step == cfg.profile_start:
+                jax.profiler.start_trace(os.path.join(
+                    cfg.log_dir, cfg.exp_name, 'profile'))
+                profiling = True
             self.state, metrics = self.train_step(
                 self.state, self.all_rays, self.all_rgbs, self.base_rng)
+            if profiling and step >= cfg.profile_start + cfg.profile_steps:
+                jax.device_get(metrics['loss'])
+                jax.profiler.stop_trace()
+                profiling = False
             rays_done += cfg.batch_size
 
             if (step + 1) % cfg.log_every == 0 or step + 1 == self.total_steps:

@@ -12,6 +12,9 @@ from __future__ import annotations
 
 
 def main():
+    from hypernerf_tpu.utils.platform import apply_platform_overrides
+    apply_platform_overrides()
+
     from hypernerf_tpu.opt import configs_from_args, get_opts
     args = get_opts()
     nerf_cfg, train_cfg = configs_from_args(args)
