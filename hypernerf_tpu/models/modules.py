@@ -236,7 +236,8 @@ class HyperSheetMLP(nn.Module):
 
     Matches modules.py:302-337: posenc_orig(points, 7 freqs) ++ warp embed ->
     MLP depth 6, width 64, skips (4,), output init normal std=1e-5, optional
-    +embed residual.
+    +embed residual. With ``use_pallas`` on TPU, posenc+MLP run as one fused
+    kernel (ops/pallas/fused_field.py).
     """
     out_ch: int = 4
     depth: int = 6
@@ -245,9 +246,31 @@ class HyperSheetMLP(nn.Module):
     skips: Tuple[int, ...] = (4,)
     use_residual: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+    pallas_tile: int = 1024
 
     @nn.compact
     def __call__(self, points, embed, alpha=None):
+        import jax as _jax
+        if (self.use_pallas and not self.is_initializing()
+                and _jax.default_backend() == 'tpu'):
+            from hypernerf_tpu.ops.pallas.fused_field import (
+                FusedFieldSpec, fused_field_mlp, mlp_params_to_list)
+            spec = FusedFieldSpec(
+                segments=((points.shape[-1], self.n_freq),
+                          (embed.shape[-1], 0)),
+                depth=self.depth, width=self.width, out_ch=self.out_ch,
+                skips=tuple(self.skips), tile=self.pallas_tile,
+                compute_dtype=str(jnp.dtype(self.dtype)))
+            raw = jnp.concatenate(
+                [points, embed.astype(points.dtype)], axis=-1)
+            out = fused_field_mlp(
+                spec, raw.reshape(-1, raw.shape[-1]),
+                mlp_params_to_list(self.variables['params']['mlp']))
+            out = out.reshape(*points.shape[:-1], self.out_ch)
+            if self.use_residual:
+                return out + embed
+            return out
         points_feat = posenc_orig(points, self.n_freq)
         inputs = jnp.concatenate([points_feat, embed], axis=-1)
         out = MLP(out_ch=self.out_ch,

@@ -66,6 +66,7 @@ class NerfModel(nn.Module):
                 self.warp_field = TranslationField(
                     depth=cfg.warp_depth, width=cfg.warp_width,
                     n_freq=cfg.warp_freq, skips=cfg.skips, dtype=dtype,
+                    use_pallas=cfg.use_pallas, pallas_tile=cfg.pallas_tile,
                     name='warp_field')
             else:
                 self.warp_field = SE3Field(
@@ -83,6 +84,8 @@ class NerfModel(nn.Module):
                 n_freq=cfg.hyper_sheet_freq,
                 skips=cfg.skips,
                 use_residual=cfg.hyper_sheet_use_residual,
+                use_pallas=cfg.use_pallas,
+                pallas_tile=cfg.pallas_tile,
                 dtype=dtype,
                 name='hyper_sheet_mlp')
         if cfg.use_nerf_embed and not cfg.nerf_use_warp_embed:

@@ -30,12 +30,19 @@ Dtype = Any
 
 
 class TranslationField(nn.Module):
-    """Predicts a per-point translation conditioned on a warp embedding."""
+    """Predicts a per-point translation conditioned on a warp embedding.
+
+    With ``use_pallas`` on TPU, the posenc+MLP run as one fused kernel
+    (ops/pallas/fused_field.py) — the encoding and activations never leave
+    VMEM. The jnp path remains the init/CPU/parity reference.
+    """
     depth: int = 6
     width: int = 128
     n_freq: int = 10
     skips: Tuple[int, ...] = (4,)
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+    pallas_tile: int = 1024
 
     def setup(self):
         self.mlp = MLP(out_ch=3,
@@ -48,6 +55,21 @@ class TranslationField(nn.Module):
                        name='mlp')
 
     def warp(self, points, embed, extra_params=None):
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == 'tpu'):
+            from hypernerf_tpu.ops.pallas.fused_field import (
+                FusedFieldSpec, fused_field_mlp, mlp_params_to_list)
+            spec = FusedFieldSpec(
+                segments=((3, self.n_freq), (embed.shape[-1], 0)),
+                depth=self.depth, width=self.width, out_ch=3,
+                skips=tuple(self.skips), tile=self.pallas_tile,
+                compute_dtype=str(jnp.dtype(self.dtype)))
+            raw = jnp.concatenate(
+                [points, embed.astype(points.dtype)],
+                axis=-1).reshape(-1, 3 + embed.shape[-1])
+            delta = fused_field_mlp(
+                spec, raw, mlp_params_to_list(self.variables['params']['mlp']))
+            return points + delta.reshape(*points.shape[:-1], 3)
         points_feat = posenc_orig(points, self.n_freq)
         inputs = jnp.concatenate([points_feat, embed.astype(points_feat.dtype)],
                                  axis=-1)

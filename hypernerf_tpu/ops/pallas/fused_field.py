@@ -1,0 +1,338 @@
+"""Fused field MLP: in-kernel positional encoding + skip-MLP, one output head.
+
+Serves the warp field (TranslationField: posenc_orig(points, 10) ++ embed ->
+6x128 MLP -> 3) and the hyper sheet (posenc_orig(points, 7) ++ embed -> 6x64
+-> 4) — models/warping.py / models/modules.py. Unlike the template kernel
+(fused_mlp.py) the positional encoding happens *inside* the kernel: the raw
+input is only (P, 3+E) and neither the encoded features nor any activation
+ever reaches HBM.
+
+Input layout: one raw array (P, sum(seg_ch)) whose segments are encoded
+independently — segments with n_freq > 0 get [x | sin bands | cos bands]
+(ops/posenc.py layout), n_freq == 0 passes through (the GLO embedding).
+The backward recomputes the forward per tile and applies the analytic posenc
+VJP per segment, accumulating fp32 dW/db across the sequential grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+OUT_PAD = 8
+
+
+def _rup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class FusedFieldSpec(NamedTuple):
+    """Static config. segments: ((channels, n_freqs), ...)."""
+    segments: Tuple[Tuple[int, int], ...]
+    depth: int = 6
+    width: int = 128
+    out_ch: int = 3
+    skips: Tuple[int, ...] = (4,)
+    tile: int = 1024
+    interpret: bool = False
+    compute_dtype: str = 'bfloat16'
+
+    @property
+    def raw_ch(self) -> int:
+        return sum(c for c, _ in self.segments)
+
+    @property
+    def enc_ch(self) -> int:
+        return sum(c * (1 + 2 * f) for c, f in self.segments)
+
+    @property
+    def enc_pad(self) -> int:
+        return _rup(self.enc_ch, LANE)
+
+    @property
+    def w_pad(self) -> int:
+        return _rup(self.width, LANE)
+
+
+def _encode(spec: FusedFieldSpec, x):
+    """Per-segment posenc_orig in VMEM; returns (T, enc_pad) compute-dtype."""
+    dt = jnp.dtype(spec.compute_dtype)
+    parts = []
+    start = 0
+    for ch, n_freq in spec.segments:
+        seg = x[:, start:start + ch].astype(jnp.float32)
+        start += ch
+        if n_freq == 0:
+            parts.append(seg.astype(dt))
+            continue
+        sins = [jnp.sin(seg * (2.0 ** k)) for k in range(n_freq)]
+        coss = [jnp.cos(seg * (2.0 ** k)) for k in range(n_freq)]
+        parts.append(jnp.concatenate([seg] + sins + coss, -1).astype(dt))
+    enc = jnp.concatenate(parts, axis=-1)
+    pad = spec.enc_pad - spec.enc_ch
+    if pad:
+        enc = jnp.concatenate(
+            [enc, jnp.zeros((enc.shape[0], pad), dt)], axis=-1)
+    return enc
+
+
+def _encode_bwd(spec: FusedFieldSpec, x, g_enc):
+    """VJP of _encode: (T, enc_pad) cotangent -> (T, raw_ch)."""
+    parts = []
+    start_raw = 0
+    start_enc = 0
+    for ch, n_freq in spec.segments:
+        seg = x[:, start_raw:start_raw + ch].astype(jnp.float32)
+        start_raw += ch
+        width = ch * (1 + 2 * n_freq)
+        g_seg = g_enc[:, start_enc:start_enc + width].astype(jnp.float32)
+        start_enc += width
+        if n_freq == 0:
+            parts.append(g_seg)
+            continue
+        dx = g_seg[:, :ch]
+        for k in range(n_freq):
+            f = 2.0 ** k
+            g_sin = g_seg[:, ch + k * ch:ch + (k + 1) * ch]
+            g_cos = g_seg[:, ch * (1 + n_freq) + k * ch:
+                          ch * (1 + n_freq) + (k + 1) * ch]
+            dx = dx + f * (jnp.cos(seg * f) * g_sin
+                           - jnp.sin(seg * f) * g_cos)
+        parts.append(dx)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _layer_row_segs(spec: FusedFieldSpec):
+    """Per-layer (orig_rows_segments, out_orig, out_pad)."""
+    s = spec
+    defs = []
+    enc_seg = [(s.enc_ch, s.enc_pad)]
+    for i in range(s.depth):
+        segs = list(enc_seg) if i == 0 else [(s.width, s.w_pad)]
+        if i > 0 and (i - 1) in s.skips:
+            segs.extend(enc_seg)
+        defs.append((segs, s.width, s.w_pad))
+    segs = [(s.width, s.w_pad)]
+    if (s.depth - 1) in s.skips:
+        segs.extend(enc_seg)
+    defs.append((segs, s.out_ch, OUT_PAD))
+    return defs
+
+
+def _pad_params(spec: FusedFieldSpec, pairs):
+    dt = jnp.dtype(spec.compute_dtype)
+    defs = _layer_row_segs(spec)
+    assert len(defs) == len(pairs), (len(defs), len(pairs))
+    padded = []
+    for (segs, out_orig, out_pad), (w, b) in zip(defs, pairs):
+        rows = []
+        start = 0
+        for orig, pad in segs:
+            rows.append(jnp.pad(w[start:start + orig],
+                                ((0, pad - orig), (0, 0))))
+            start += orig
+        wp = jnp.concatenate(rows, 0) if len(rows) > 1 else rows[0]
+        wp = jnp.pad(wp, ((0, 0), (0, out_pad - out_orig))).astype(dt)
+        bp = jnp.pad(b, (0, out_pad - out_orig)).astype(dt)[None, :]
+        padded.append((wp, bp))
+    return padded
+
+
+def _dot(a, w):
+    return jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_t(g, w):
+    return jax.lax.dot_general(g, w, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_acc(h, g):
+    return jax.lax.dot_general(h, g, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _forward_tile(spec: FusedFieldSpec, x_raw, wbs):
+    dt = jnp.dtype(spec.compute_dtype)
+    enc = _encode(spec, x_raw)
+    ins, outs = [], []
+    h = enc
+    for i in range(spec.depth):
+        w, b = wbs[i]
+        ins.append(h)
+        h = jnp.maximum(_dot(h, w) + b.astype(jnp.float32), 0.0).astype(dt)
+        outs.append(h)
+        if i in spec.skips:
+            h = jnp.concatenate([h, enc], axis=-1)
+    w, b = wbs[spec.depth]
+    logit_in = h
+    out = _dot(h, w) + b.astype(jnp.float32)  # (T, OUT_PAD) fp32
+    return enc, ins, outs, logit_in, out
+
+
+def _make_fwd_kernel(spec: FusedFieldSpec, n_layers: int):
+    def kernel(*refs):
+        x_ref = refs[0]
+        wbs = [(refs[1 + 2 * k][:], refs[1 + 2 * k + 1][:])
+               for k in range(n_layers)]
+        out_ref = refs[1 + 2 * n_layers]
+        *_, out = _forward_tile(spec, x_ref[:], wbs)
+        out_ref[:] = out
+    return kernel
+
+
+def _make_bwd_kernel(spec: FusedFieldSpec, n_layers: int):
+    s = spec
+    dt = jnp.dtype(s.compute_dtype)
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        g_ref = refs[1]
+        wbs = [(refs[2 + 2 * k][:], refs[2 + 2 * k + 1][:])
+               for k in range(n_layers)]
+        o = 2 + 2 * n_layers
+        dx_ref = refs[o]
+        dwb_refs = refs[o + 1:o + 1 + 2 * n_layers]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in dwb_refs:
+                r[:] = jnp.zeros(r.shape, r.dtype)
+
+        x_raw = x_ref[:]
+        enc, ins, outs, logit_in, _ = _forward_tile(s, x_raw, wbs)
+        t = x_raw.shape[0]
+
+        def acc(k, dw, db):
+            dwb_refs[2 * k][:] += dw
+            dwb_refs[2 * k + 1][:] += db
+
+        g_out = g_ref[:]  # (T, OUT_PAD) fp32
+        g_out_c = g_out.astype(dt)
+        acc(s.depth, _dot_acc(logit_in, g_out_c),
+            jnp.sum(g_out, axis=0, keepdims=True))
+        gh = _dot_t(g_out_c, wbs[s.depth][0]).astype(dt)
+
+        g_enc_acc = jnp.zeros((t, s.enc_pad), jnp.float32)
+        if (s.depth - 1) in s.skips:
+            g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
+            gh = gh[:, :s.w_pad]
+        for i in range(s.depth - 1, -1, -1):
+            gh = jnp.where(outs[i].astype(jnp.float32) > 0, gh, 0).astype(dt)
+            acc(i, _dot_acc(ins[i], gh),
+                jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
+            gh = _dot_t(gh, wbs[i][0]).astype(dt)
+            if i > 0 and (i - 1) in s.skips:
+                g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
+                gh = gh[:, :s.w_pad]
+        g_enc_acc += gh.astype(jnp.float32)
+        dx_ref[:] = _encode_bwd(s, x_raw, g_enc_acc).astype(dx_ref.dtype)
+    return kernel
+
+
+def _common_specs(spec, p, x_raw, padded_wbs):
+    data_spec = pl.BlockSpec((spec.tile, x_raw.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    w_in, w_specs = [], []
+    for w, b in padded_wbs:
+        w_in += [w, b]
+        w_specs += [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    return data_spec, w_in, w_specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused(spec, x_raw, padded_flat):
+    padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
+                  for k in range(len(padded_flat) // 2)]
+    p = x_raw.shape[0]
+    data_spec, w_in, w_specs = _common_specs(spec, p, x_raw, padded_wbs)
+    return pl.pallas_call(
+        _make_fwd_kernel(spec, len(padded_wbs)),
+        grid=(p // spec.tile,),
+        in_specs=[data_spec] + w_specs,
+        out_specs=pl.BlockSpec((spec.tile, OUT_PAD), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, OUT_PAD), jnp.float32),
+        interpret=spec.interpret,
+    )(x_raw, *w_in)
+
+
+def _fused_fwd(spec, x_raw, padded_flat):
+    return _fused(spec, x_raw, padded_flat), (x_raw, padded_flat)
+
+
+def _fused_bwd(spec, res, g):
+    x_raw, padded_flat = res
+    padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
+                  for k in range(len(padded_flat) // 2)]
+    p = x_raw.shape[0]
+    data_spec, w_in, w_specs = _common_specs(spec, p, x_raw, padded_wbs)
+    g_spec = pl.BlockSpec((spec.tile, OUT_PAD), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct(x_raw.shape, jnp.float32)]
+    out_specs = [data_spec]
+    for w, b in padded_wbs:
+        out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(b.shape, jnp.float32)]
+        out_specs += [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    outs = pl.pallas_call(
+        _make_bwd_kernel(spec, len(padded_wbs)),
+        grid=(p // spec.tile,),
+        in_specs=[data_spec, g_spec] + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=spec.interpret,
+    )(x_raw, g, *w_in)
+    dx = outs[0].astype(x_raw.dtype)
+    dflat = tuple(outs[1 + k].astype(padded_flat[k].dtype)
+                  for k in range(len(padded_flat)))
+    return dx, dflat
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def mlp_params_to_list(params) -> list:
+    """Flatten an MLP param tree (models/modules.py MLP) into (W, b) pairs."""
+    depth = len([k for k in params if k.startswith('hidden_')])
+    pairs = [(params[f'hidden_{i}']['kernel'], params[f'hidden_{i}']['bias'])
+             for i in range(depth)]
+    pairs.append((params['logit']['kernel'], params['logit']['bias']))
+    return pairs
+
+
+def fused_field_mlp(spec: FusedFieldSpec, x_raw, pairs):
+    """Evaluate posenc+MLP for raw per-sample inputs.
+
+    Args:
+      spec: static FusedFieldSpec.
+      x_raw: (P, raw_ch) raw inputs, segments concatenated (e.g. [pts|embed]).
+      pairs: (W, b) list in MLP order (hidden_0..hidden_{D-1}, logit),
+        unpadded.
+
+    Returns:
+      (P, out_ch) fp32 output (no output activation).
+    """
+    s = spec
+    p = x_raw.shape[0]
+    p_pad = _rup(p, s.tile)
+    x_in = x_raw.astype(jnp.float32)
+    if p_pad != p:
+        x_in = jnp.pad(x_in, ((0, p_pad - p), (0, 0)))
+    padded = _pad_params(s, pairs)
+    padded_flat = tuple(a for wb in padded for a in wb)
+    out = _fused(s, x_in, padded_flat)
+    return out[:p, :s.out_ch]
