@@ -42,6 +42,9 @@ class FusedFieldSpec(NamedTuple):
     tile: int = 1024
     interpret: bool = False
     compute_dtype: str = 'bfloat16'
+    # Backward recompute keeps all activations of a tile live in VMEM, so it
+    # needs a smaller tile than the forward (0 = same as tile).
+    bwd_tile: int = 0
 
     @property
     def raw_ch(self) -> int:
@@ -273,6 +276,7 @@ def _fused_fwd(spec, x_raw, padded_flat):
 
 def _fused_bwd(spec, res, g):
     x_raw, padded_flat = res
+    spec = spec._replace(tile=spec.bwd_tile or spec.tile)
     padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
                   for k in range(len(padded_flat) // 2)]
     p = x_raw.shape[0]
@@ -328,7 +332,10 @@ def fused_field_mlp(spec: FusedFieldSpec, x_raw, pairs):
     """
     s = spec
     p = x_raw.shape[0]
-    p_pad = _rup(p, s.tile)
+    granularity = max(s.tile, s.bwd_tile or s.tile)
+    if granularity % min(s.tile, s.bwd_tile or s.tile):
+        raise ValueError('tile and bwd_tile must divide each other')
+    p_pad = _rup(p, granularity)
     x_in = x_raw.astype(jnp.float32)
     if p_pad != p:
         x_in = jnp.pad(x_in, ((0, p_pad - p), (0, 0)))

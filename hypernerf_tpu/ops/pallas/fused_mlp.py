@@ -57,6 +57,9 @@ class FusedMLPSpec(NamedTuple):
     tile: int = 512
     interpret: bool = False
     compute_dtype: str = 'bfloat16'
+    # Backward recompute keeps all activations of a tile live in VMEM, so it
+    # needs a smaller tile than the forward (0 = same as tile).
+    bwd_tile: int = 0
 
     @property
     def in_pad(self):
@@ -438,7 +441,7 @@ def _fwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs):
 
 
 def _bwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g):
-    s = spec
+    s = spec._replace(tile=spec.bwd_tile or spec.tile)
     p = x_pad.shape[0]
     n_tiles = p // s.tile
     n_layers = len(padded_wbs)
@@ -558,7 +561,10 @@ def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs):
     """
     s = spec
     p = x.shape[0]
-    p_pad = _rup(p, s.tile)
+    granularity = max(s.tile, s.bwd_tile or s.tile)
+    if granularity % min(s.tile, s.bwd_tile or s.tile):
+        raise ValueError('tile and bwd_tile must divide each other')
+    p_pad = _rup(p, granularity)
 
     def pad_rows(a):
         return jnp.pad(a, ((0, p_pad - p), (0, 0))) if p_pad != p else a
