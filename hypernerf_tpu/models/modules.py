@@ -156,6 +156,7 @@ class NerfMLP(nn.Module):
             alpha_cond_ch=(alpha_condition.shape[-1]
                            if alpha_condition is not None else 0),
             tile=self.pallas_tile,
+            bwd_tile=min(self.pallas_tile, 512),
             compute_dtype=str(jnp.dtype(self.dtype)),
         )
         pairs = nerf_mlp_params_to_list(self.variables['params'])
