@@ -172,6 +172,7 @@ class TrainConfig:
     prefixes_to_ignore: Tuple[str, ...] = ('loss',)
 
     seed: int = 0
+    ckpt_every_steps: Optional[int] = None  # default: every epoch
     val_check_interval: float = 0.25
     num_sanity_val_steps: int = 1
     log_every: int = 100

@@ -188,7 +188,8 @@ class Trainer:
                     print(f'  val psnr={val_metrics["val/psnr"]:.2f}',
                           flush=True)
 
-            if (step + 1) % self.steps_per_epoch == 0 \
+            ckpt_every = cfg.ckpt_every_steps or self.steps_per_epoch
+            if (step + 1) % ckpt_every == 0 \
                     or step + 1 == self.total_steps:
                 ckpt_lib.save_checkpoint(
                     self.ckpt_dir, step + 1, jax.device_get(self.state),

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""End-to-end quality validation on the synthetic dynamic scene.
+
+Generates the analytic dynamic LLFF scene (tools/make_synthetic_scene.py),
+trains the full HyperNeRF model (translation warp + bendy-sheet slicing) for
+--max_steps, and reports train/val PSNR plus throughput. This stands in for
+the reference's LLFF captures (none ship with this image): ~30 PSNR here
+demonstrates the same "fairly good model" bar as the reference's Readme.md:41
+claim on its own dynamic scene.
+
+  python tools/validate_synthetic.py --steps 20000 --out /tmp/val_scene
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--out', type=str, default='/tmp/val_scene')
+    parser.add_argument('--steps', type=int, default=20000)
+    parser.add_argument('--batch_size', type=int, default=4096)
+    parser.add_argument('--n_frames', type=int, default=20)
+    parser.add_argument('--width', type=int, default=160)
+    parser.add_argument('--height', type=int, default=120)
+    parser.add_argument('--static', action='store_true',
+                        help='train a static NeRF instead (ablation)')
+    parser.add_argument('--report', type=str, default=None,
+                        help='append a JSON result line to this file')
+    args = parser.parse_args()
+
+    from hypernerf_tpu.utils.platform import apply_platform_overrides
+    apply_platform_overrides()
+
+    from make_synthetic_scene import make_scene
+    if not os.path.exists(os.path.join(args.out, 'poses_bounds.npy')):
+        make_scene(args.out, args.n_frames, args.width, args.height)
+        print(f'generated scene at {args.out}', flush=True)
+
+    from hypernerf_tpu.configs import NerfConfig, TrainConfig
+    from hypernerf_tpu.training.trainer import Trainer
+
+    if args.static:
+        nerf_cfg = NerfConfig(use_warp=False, hyper_slice_method='none',
+                              num_coarse_samples=64, num_fine_samples=64)
+    else:
+        nerf_cfg = NerfConfig(use_warp=True, hyper_slice_method='bendy_sheet',
+                              num_coarse_samples=64, num_fine_samples=64)
+    train_cfg = TrainConfig(
+        root_dir=args.out, dataset_name='llff',
+        img_wh=(args.width, args.height),
+        batch_size=args.batch_size, max_steps=args.steps,
+        lr=5e-4, lr_scheduler='cosine', num_epochs=30,
+        log_every=500, val_check_interval=20.0,
+        ckpt_every_steps=max(1000, args.steps // 4),
+        exp_name='synthetic_val' + ('_static' if args.static else ''),
+        ckpt_dir=os.path.join(args.out, 'ckpts'),
+        log_dir=os.path.join(args.out, 'logs'))
+
+    t0 = time.time()
+    trainer = Trainer(nerf_cfg, train_cfg)
+    metrics = trainer.fit()
+    wall = time.time() - t0
+    val = trainer.validate(step=args.steps, log_images=False)
+    result = {
+        'mode': 'static' if args.static else 'hypernerf',
+        'steps': args.steps,
+        'batch_size': args.batch_size,
+        'wall_clock_s': round(wall, 1),
+        'train_psnr': round(metrics.get('train/psnr', float('nan')), 2),
+        'val_psnr': round(val['val/psnr'], 2),
+        'rays_per_sec': round(metrics.get('train/rays_per_sec', 0.0)),
+    }
+    print(json.dumps(result))
+    if args.report:
+        with open(args.report, 'a') as f:
+            f.write(json.dumps(result) + '\n')
+
+
+if __name__ == '__main__':
+    main()
