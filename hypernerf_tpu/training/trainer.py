@@ -189,8 +189,9 @@ class Trainer:
                           flush=True)
 
             ckpt_every = cfg.ckpt_every_steps or self.steps_per_epoch
-            if (step + 1) % ckpt_every == 0 \
-                    or step + 1 == self.total_steps:
+            if ((step + 1) % ckpt_every == 0
+                    or step + 1 == self.total_steps) \
+                    and jax.process_index() == 0:
                 ckpt_lib.save_checkpoint(
                     self.ckpt_dir, step + 1, jax.device_get(self.state),
                     nerf_config=self.nerf_cfg, train_config=cfg,

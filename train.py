@@ -19,10 +19,12 @@ def main():
     args = get_opts()
     nerf_cfg, train_cfg = configs_from_args(args)
 
+    from hypernerf_tpu.parallel.distributed import maybe_initialize_distributed
     from hypernerf_tpu.parallel.mesh import create_mesh
     from hypernerf_tpu.training.trainer import Trainer
     from hypernerf_tpu.utils.logging import MetricsLogger
 
+    maybe_initialize_distributed()
     num_devices = args.num_devices or args.num_gpus
     mesh = create_mesh(num_devices=num_devices)
     print(f'Device mesh: {mesh.devices.size} x {mesh.devices.flat[0].platform}')
