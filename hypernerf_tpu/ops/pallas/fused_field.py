@@ -21,6 +21,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -63,6 +64,19 @@ class FusedFieldSpec(NamedTuple):
         return _rup(self.width, LANE)
 
 
+def _band_matrix(ch: int, n_freq: int):
+    """(ch, n_freq*ch) with [c, k*ch+c] = 2^k: band expansion as one matmul.
+
+    Per-band elementwise expansion (tile + multiply) lowers to dozens of
+    lane-starved (T, 3) ops in Mosaic; a K=3 matmul rides the MXU instead.
+    Built from iota (Pallas kernels cannot capture array constants).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ch, n_freq * ch), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ch, n_freq * ch), 1)
+    freq = jnp.exp2((cols // ch).astype(jnp.float32))
+    return jnp.where(cols % ch == rows, freq, 0.0)
+
+
 def _encode(spec: FusedFieldSpec, x):
     """Per-segment posenc_orig in VMEM; returns (T, enc_pad) compute-dtype."""
     dt = jnp.dtype(spec.compute_dtype)
@@ -74,15 +88,15 @@ def _encode(spec: FusedFieldSpec, x):
         if n_freq == 0:
             parts.append(seg.astype(dt))
             continue
-        sins = [jnp.sin(seg * (2.0 ** k)) for k in range(n_freq)]
-        coss = [jnp.cos(seg * (2.0 ** k)) for k in range(n_freq)]
-        parts.append(jnp.concatenate([seg] + sins + coss, -1).astype(dt))
-    enc = jnp.concatenate(parts, axis=-1)
+        xb = jax.lax.dot_general(
+            seg, _band_matrix(ch, n_freq),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        parts += [seg.astype(dt), jnp.sin(xb).astype(dt),
+                  jnp.cos(xb).astype(dt)]
     pad = spec.enc_pad - spec.enc_ch
     if pad:
-        enc = jnp.concatenate(
-            [enc, jnp.zeros((enc.shape[0], pad), dt)], axis=-1)
-    return enc
+        parts.append(jnp.zeros((x.shape[0], pad), dt))
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _encode_bwd(spec: FusedFieldSpec, x, g_enc):
@@ -99,15 +113,16 @@ def _encode_bwd(spec: FusedFieldSpec, x, g_enc):
         if n_freq == 0:
             parts.append(g_seg)
             continue
-        dx = g_seg[:, :ch]
-        for k in range(n_freq):
-            f = 2.0 ** k
-            g_sin = g_seg[:, ch + k * ch:ch + (k + 1) * ch]
-            g_cos = g_seg[:, ch * (1 + n_freq) + k * ch:
-                          ch * (1 + n_freq) + (k + 1) * ch]
-            dx = dx + f * (jnp.cos(seg * f) * g_sin
-                           - jnp.sin(seg * f) * g_cos)
-        parts.append(dx)
+        band = _band_matrix(ch, n_freq)
+        xb = jax.lax.dot_general(seg, band, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        g_sin = g_seg[:, ch:ch + n_freq * ch]
+        g_cos = g_seg[:, ch + n_freq * ch:]
+        flat = jnp.cos(xb) * g_sin - jnp.sin(xb) * g_cos
+        # Contract back with the band matrix (freqs folded in) on the MXU.
+        dx = jax.lax.dot_general(flat, band, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        parts.append(g_seg[:, :ch] + dx)
     return jnp.concatenate(parts, axis=-1)
 
 
