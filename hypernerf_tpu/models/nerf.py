@@ -189,6 +189,27 @@ class NerfModel(nn.Module):
         alpha_condition, rgb_condition = self.get_condition_inputs(
             viewdirs, metadata, extra_params, metadata_encoded)
 
+        # Fully fused path: raw warped points go straight into the Pallas
+        # template kernel, which computes the positional encoding in VMEM
+        # (ops/pallas/fused_mlp.py enc_segments) — no encoded feature tensor
+        # ever reaches HBM.
+        if (cfg.use_pallas and cfg.use_original_embed
+                and not self.is_initializing()
+                and rgb_condition is not None
+                and jax.default_backend() == 'tpu'):
+            raw = self._query_template_fused(
+                level, points, alpha_condition, rgb_condition)
+            raw_alpha = raw['alpha'].astype(jnp.float32)
+            noise_key = None
+            if (stratified and cfg.noise_std is not None
+                    and cfg.noise_std > 0.0 and self.has_rng('sigma_noise')):
+                noise_key = self.make_rng('sigma_noise')
+            raw_alpha = noise_regularize(noise_key, raw_alpha, cfg.noise_std,
+                                         stratified)
+            rgb = nn.sigmoid(raw['rgb'].astype(jnp.float32))
+            sigma = nn.softplus(jnp.squeeze(raw_alpha, axis=-1))
+            return rgb, sigma
+
         if cfg.use_original_embed:
             points_feat = posenc_orig(points[..., :3], cfg.xyz_freq)
         else:
@@ -223,6 +244,55 @@ class NerfModel(nn.Module):
         rgb = nn.sigmoid(raw['rgb'].astype(jnp.float32))
         sigma = nn.softplus(jnp.squeeze(raw_alpha, axis=-1))
         return rgb, sigma
+
+    def _query_template_fused(self, level, points, alpha_condition,
+                              rgb_condition):
+        """Raw-points fused template evaluation (TPU Pallas path)."""
+        from hypernerf_tpu.ops.pallas.fused_mlp import (FusedMLPSpec,
+                                                        fused_nerf_mlp,
+                                                        nerf_mlp_params_to_list)
+        from hypernerf_tpu.ops.posenc import posenc_orig_channels
+        cfg = self.config
+        mlp_mod = (self.nerf_mlp_fine if level == 'fine'
+                   else self.nerf_mlp_coarse)
+        batch_shape = points.shape[:-1]
+        hyper_ch = points.shape[-1] - 3
+        segments = ((3, cfg.xyz_freq),)
+        in_ch = posenc_orig_channels(3, cfg.xyz_freq)
+        if hyper_ch:
+            segments += ((hyper_ch, cfg.hyper_freq),)
+            in_ch += posenc_orig_channels(hyper_ch, cfg.hyper_freq)
+
+        def flat_cond(c):
+            c = jnp.broadcast_to(c[..., None, :], (*batch_shape, c.shape[-1]))
+            return c.reshape(-1, c.shape[-1])
+
+        spec = FusedMLPSpec(
+            in_ch=in_ch,
+            trunk_depth=cfg.trunk_depth,
+            trunk_width=cfg.trunk_width,
+            rgb_depth=cfg.rgb_branch_depth,
+            rgb_width=cfg.rgb_branch_width,
+            rgb_channels=cfg.rgb_channels,
+            alpha_channels=cfg.alpha_channels,
+            skips=cfg.skips,
+            rgb_cond_ch=rgb_condition.shape[-1],
+            alpha_cond_ch=(alpha_condition.shape[-1]
+                           if alpha_condition is not None else 0),
+            tile=cfg.pallas_tile,
+            bwd_tile=min(cfg.pallas_tile, 512),
+            compute_dtype=cfg.compute_dtype,
+            enc_segments=segments)
+        pairs = nerf_mlp_params_to_list(mlp_mod.variables['params'])
+        out = fused_nerf_mlp(
+            spec, points.reshape(-1, points.shape[-1]),
+            flat_cond(rgb_condition),
+            flat_cond(alpha_condition) if alpha_condition is not None
+            else None,
+            pairs)
+        return {'rgb': out['rgb'].reshape(*batch_shape, cfg.rgb_channels),
+                'alpha': out['alpha'].reshape(*batch_shape,
+                                              cfg.alpha_channels)}
 
     # ------------------------------------------------------------------- warps
 

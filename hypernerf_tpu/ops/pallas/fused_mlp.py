@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+RAW_PAD = 8  # raw-point gradient output padded lanes
 HEAD_PAD = 8  # rgb (3) / alpha (1) heads padded to 8 output columns
 
 
@@ -57,6 +58,10 @@ class FusedMLPSpec(NamedTuple):
     tile: int = 512
     interpret: bool = False
     compute_dtype: str = 'bfloat16'
+    # When set, the kernel input is RAW points (P, sum seg_ch) and the
+    # positional encoding ((ch, n_freq) per segment, posenc_orig block
+    # layout) happens inside the kernel; in_ch must equal the encoded width.
+    enc_segments: Tuple[Tuple[int, int], ...] = ()
     # Backward recompute keeps all activations of a tile live in VMEM, so it
     # needs a smaller tile than the forward (0 = same as tile).
     bwd_tile: int = 0
@@ -225,6 +230,14 @@ def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs):
     idx = 0
     stash = {'trunk_ins': [], 'trunk_outs': [], 'rgb_ins': [], 'rgb_outs': []}
 
+    if s.enc_segments:
+        from hypernerf_tpu.ops.pallas.fused_field import FusedFieldSpec as _FS
+        from hypernerf_tpu.ops.pallas.fused_field import _encode
+        fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
+        assert fs.enc_ch == s.in_ch, (fs.enc_ch, s.in_ch)
+        x = _encode(fs._replace(), x)
+        # _encode pads to fs.enc_pad == rup(in_ch, 128) == s.in_pad.
+        stash['x_enc'] = x
     h = x
     for i in range(s.trunk_depth):
         w, b = wbs[idx]; idx += 1
@@ -398,7 +411,17 @@ def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
                 g_x_acc += gh[:, s.tw:].astype(jnp.float32)
                 gh = gh[:, :s.tw]
         g_x_acc += gh.astype(jnp.float32)
-        dx_ref[:] = g_x_acc.astype(dx_ref.dtype)
+        if s.enc_segments:
+            from hypernerf_tpu.ops.pallas.fused_field import (
+                FusedFieldSpec as _FS, _encode_bwd)
+            fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
+            raw_ch = sum(c for c, _ in s.enc_segments)
+            dx_raw = _encode_bwd(fs, x[:, :raw_ch], g_x_acc)
+            dx_raw = jnp.concatenate(
+                [dx_raw, jnp.zeros((t, RAW_PAD - raw_ch), jnp.float32)], -1)
+            dx_ref[:] = dx_raw.astype(dx_ref.dtype)
+        else:
+            dx_ref[:] = g_x_acc.astype(dx_ref.dtype)
     return kernel
 
 
@@ -570,8 +593,15 @@ def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs):
         return jnp.pad(a, ((0, p_pad - p), (0, 0))) if p_pad != p else a
 
     dt = jnp.dtype(s.compute_dtype)
-    x_pad = pad_rows(jnp.pad(x.astype(dt),
-                             ((0, 0), (0, s.in_pad - s.in_ch))))
+    if s.enc_segments:
+        raw_ch = sum(c for c, _ in s.enc_segments)
+        assert x.shape[1] == raw_ch, (x.shape, raw_ch)
+        # Raw points stay fp32 (posenc needs the precision); pad lanes to 8.
+        x_pad = pad_rows(jnp.pad(x.astype(jnp.float32),
+                                 ((0, 0), (0, RAW_PAD - raw_ch))))
+    else:
+        x_pad = pad_rows(jnp.pad(x.astype(dt),
+                                 ((0, 0), (0, s.in_pad - s.in_ch))))
     rgbc_pad = pad_rows(jnp.pad(rgb_cond.astype(dt),
                                 ((0, 0), (0, s.rc - s.rgb_cond_ch))))
     if s.alpha_cond_ch:

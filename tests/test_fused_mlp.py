@@ -143,3 +143,59 @@ def test_fused_reference_config_shapes():
     got = fused_nerf_mlp(spec, x_flat, rgbc_flat, None, pairs)
     np.testing.assert_allclose(np.asarray(got['rgb']).reshape(B, S, 3),
                                np.asarray(ref['rgb']), rtol=5e-2, atol=5e-2)
+
+
+def test_fused_with_in_kernel_posenc():
+    """Raw-points mode: posenc happens inside the kernel (enc_segments)."""
+    from hypernerf_tpu.ops.posenc import posenc_orig
+    mlp = NerfMLP(trunk_depth=3, trunk_width=32, rgb_branch_depth=2,
+                  rgb_branch_width=16, skips=(1,))
+    rs = np.random.RandomState(0)
+    B, S = 4, 8
+    pts = jnp.asarray(rs.randn(B, S, 7).astype(np.float32) * 0.5)
+    rgbc = jnp.asarray(rs.randn(B, 11).astype(np.float32))
+    x_enc = jnp.concatenate([posenc_orig(pts[..., :3], 4),
+                             posenc_orig(pts[..., 3:], 2)], -1)
+    in_ch = x_enc.shape[-1]
+    params = mlp.init(jax.random.PRNGKey(0), x_enc,
+                      rgb_condition=rgbc)['params']
+    spec = FusedMLPSpec(
+        in_ch=in_ch, trunk_depth=3, trunk_width=32, rgb_depth=2,
+        rgb_width=16, skips=(1,), rgb_cond_ch=11, alpha_cond_ch=0,
+        tile=8, interpret=True, compute_dtype='float32',
+        enc_segments=((3, 4), (4, 2)))
+    pairs = nerf_mlp_params_to_list(params)
+    pts_flat = pts.reshape(B * S, 7)
+    rgbc_flat = jnp.broadcast_to(rgbc[:, None, :], (B, S, 11)).reshape(-1, 11)
+
+    ref = mlp.apply({'params': params}, x_enc, rgb_condition=rgbc)
+    got = fused_nerf_mlp(spec, pts_flat, rgbc_flat, None, pairs)
+    np.testing.assert_allclose(np.asarray(got['rgb']).reshape(B, S, 3),
+                               np.asarray(ref['rgb']), rtol=1e-4, atol=1e-5)
+
+    # Gradients (params and raw points, through the in-kernel posenc VJP).
+    tgt = jnp.asarray(np.random.RandomState(5).randn(B * S, 3), jnp.float32)
+
+    def loss_fused(pairs, pts_flat):
+        out = fused_nerf_mlp(spec, pts_flat, rgbc_flat, None, pairs)
+        return jnp.mean((out['rgb'] - tgt) ** 2) + jnp.mean(out['alpha'] ** 2)
+
+    def loss_ref(params, pts):
+        feat = jnp.concatenate([posenc_orig(pts[..., :3], 4),
+                                posenc_orig(pts[..., 3:], 2)], -1)
+        out = mlp.apply({'params': params}, feat, rgb_condition=rgbc)
+        rgb = out['rgb'].reshape(B * S, 3)
+        return jnp.mean((rgb - tgt) ** 2) + jnp.mean(out['alpha'] ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(pairs, pts_flat)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(params, pts)
+    np.testing.assert_allclose(np.asarray(gf[1]).reshape(B, S, 7),
+                               np.asarray(gr[1]), rtol=1e-3, atol=1e-5)
+    from hypernerf_tpu.ops.pallas.fused_mlp import list_to_nerf_mlp_params
+    got_tree = list_to_nerf_mlp_params(gf[0], params)
+    for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_flatten_with_path(got_tree)[0],
+            jax.tree_util.tree_flatten_with_path(gr[0])[0]):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=1e-3, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(pa))
