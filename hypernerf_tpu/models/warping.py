@@ -54,8 +54,8 @@ class TranslationField(nn.Module):
                        dtype=self.dtype,
                        name='mlp')
 
-    def warp(self, points, embed, extra_params=None):
-        if (self.use_pallas and not self.is_initializing()
+    def warp(self, points, embed, extra_params=None, allow_pallas=True):
+        if (allow_pallas and self.use_pallas and not self.is_initializing()
                 and jax.default_backend() == 'tpu'):
             from hypernerf_tpu.ops.pallas.fused_field import (
                 FusedFieldSpec, fused_field_mlp, mlp_params_to_list)
@@ -80,8 +80,11 @@ class TranslationField(nn.Module):
                  return_jacobian: bool = False):
         out = {'warped_points': self.warp(points, embed, extra_params)}
         if return_jacobian:
-            # d warped / d points per sample point: (..., 3, 3).
-            jac_fn = jax.jacrev(self.warp, argnums=0)
+            # d warped / d points per sample point: (..., 3, 3). Uses the
+            # dense path (a vmapped per-point Pallas call would be absurd).
+            jac_fn = jax.jacrev(
+                lambda p, e, x: self.warp(p, e, x, allow_pallas=False),
+                argnums=0)
             flat_pts = points.reshape(-1, 3)
             flat_embed = embed.reshape(-1, embed.shape[-1])
             jac = jax.vmap(lambda p, e: jac_fn(p, e, extra_params))(
