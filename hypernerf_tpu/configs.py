@@ -91,6 +91,8 @@ class NerfConfig:
     # Run the template MLP through the fused Pallas kernel on TPU backends
     # (falls back to the XLA path on CPU / for init automatically).
     use_pallas: bool = True
+    # Also run the warp field / hyper sheet through the fused field kernel.
+    use_pallas_fields: bool = True
     pallas_tile: int = 512
 
     def __post_init__(self):

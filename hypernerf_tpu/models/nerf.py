@@ -66,7 +66,8 @@ class NerfModel(nn.Module):
                 self.warp_field = TranslationField(
                     depth=cfg.warp_depth, width=cfg.warp_width,
                     n_freq=cfg.warp_freq, skips=cfg.skips, dtype=dtype,
-                    use_pallas=cfg.use_pallas, pallas_tile=cfg.pallas_tile,
+                    use_pallas=cfg.use_pallas and cfg.use_pallas_fields,
+                    pallas_tile=cfg.pallas_tile,
                     name='warp_field')
             else:
                 self.warp_field = SE3Field(
@@ -84,7 +85,7 @@ class NerfModel(nn.Module):
                 n_freq=cfg.hyper_sheet_freq,
                 skips=cfg.skips,
                 use_residual=cfg.hyper_sheet_use_residual,
-                use_pallas=cfg.use_pallas,
+                use_pallas=cfg.use_pallas and cfg.use_pallas_fields,
                 pallas_tile=cfg.pallas_tile,
                 dtype=dtype,
                 name='hyper_sheet_mlp')
