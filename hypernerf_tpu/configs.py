@@ -93,6 +93,9 @@ class NerfConfig:
     use_pallas: bool = True
     # Also run the warp field / hyper sheet through the fused field kernel.
     use_pallas_fields: bool = True
+    # Fuse warp + hyper sheet + template into ONE kernel per level (the
+    # flagship translation+bendy_sheet config; falls back otherwise).
+    use_pallas_level: bool = True
     pallas_tile: int = 512
 
     def __post_init__(self):

@@ -246,6 +246,66 @@ class NerfModel(nn.Module):
         sigma = nn.softplus(jnp.squeeze(raw_alpha, axis=-1))
         return rgb, sigma
 
+    def _render_level_fused(self, level, points, warp_embed_per_ray,
+                            alpha_condition, rgb_condition, stratified):
+        """One-kernel warp+hyper+template evaluation (TPU Pallas path)."""
+        from hypernerf_tpu.ops.pallas.fused_field import mlp_params_to_list
+        from hypernerf_tpu.ops.pallas.fused_level import (FusedLevelSpec,
+                                                          fused_level)
+        from hypernerf_tpu.ops.pallas.fused_mlp import nerf_mlp_params_to_list
+        cfg = self.config
+        mlp_mod = (self.nerf_mlp_fine if level == 'fine'
+                   else self.nerf_mlp_coarse)
+        batch_shape = points.shape[:-1]
+
+        def flat_cond(c):
+            c = jnp.broadcast_to(c[..., None, :], (*batch_shape, c.shape[-1]))
+            return c.reshape(-1, c.shape[-1])
+
+        spec = FusedLevelSpec(
+            embed_ch=cfg.glo_dim,
+            warp_depth=cfg.warp_depth, warp_width=cfg.warp_width,
+            warp_freq=cfg.warp_freq,
+            hyper_depth=cfg.hyper_sheet_depth,
+            hyper_width=cfg.hyper_sheet_width,
+            hyper_sheet_freq=cfg.hyper_sheet_freq,
+            hyper_out=cfg.hyper_slice_out_dim,
+            xyz_freq=cfg.xyz_freq, hyper_freq=cfg.hyper_freq,
+            trunk_depth=cfg.trunk_depth, trunk_width=cfg.trunk_width,
+            rgb_depth=cfg.rgb_branch_depth, rgb_width=cfg.rgb_branch_width,
+            rgb_channels=cfg.rgb_channels,
+            alpha_channels=cfg.alpha_channels,
+            rgb_cond_ch=rgb_condition.shape[-1],
+            alpha_cond_ch=(alpha_condition.shape[-1]
+                           if alpha_condition is not None else 0),
+            skips=cfg.skips,
+            tile=cfg.pallas_tile,
+            bwd_tile=min(cfg.pallas_tile, 256),
+            compute_dtype=cfg.compute_dtype)
+        out = fused_level(
+            spec,
+            points.reshape(-1, 3),
+            flat_cond(warp_embed_per_ray),
+            flat_cond(rgb_condition),
+            flat_cond(alpha_condition) if alpha_condition is not None
+            else None,
+            mlp_params_to_list(self.warp_field.variables['params']['mlp']),
+            mlp_params_to_list(
+                self.hyper_sheet_mlp.variables['params']['mlp']),
+            nerf_mlp_params_to_list(mlp_mod.variables['params']))
+
+        raw_alpha = out['alpha'].reshape(*batch_shape,
+                                         cfg.alpha_channels)
+        noise_key = None
+        if (stratified and cfg.noise_std is not None and cfg.noise_std > 0.0
+                and self.has_rng('sigma_noise')):
+            noise_key = self.make_rng('sigma_noise')
+        raw_alpha = noise_regularize(noise_key, raw_alpha, cfg.noise_std,
+                                     stratified)
+        rgb = nn.sigmoid(out['rgb'].reshape(*batch_shape, cfg.rgb_channels))
+        sigma = nn.softplus(jnp.squeeze(raw_alpha, axis=-1))
+        return rgb, sigma
+
     def _query_template_fused(self, level, points, alpha_condition,
                               rgb_condition):
         """Raw-points fused template evaluation (TPU Pallas path)."""
@@ -382,6 +442,31 @@ class NerfModel(nn.Module):
                 hyper_embed = self.encode_hyper_embed(metadata)
         else:
             hyper_embed = None
+
+        # Fully fused fast path: warp + hyper sheet + template in one Pallas
+        # kernel per level (ops/pallas/fused_level.py).
+        if (cfg.use_pallas and cfg.use_pallas_level and use_warp
+                and cfg.warp_field_type == 'translation'
+                and cfg.hyper_slice_method == 'bendy_sheet'
+                and cfg.use_original_embed
+                and cfg.hyper_use_warp_embed
+                and warp_embed is not None
+                and not return_warp_jacobian and not return_points
+                and metadata.get('hyper_point') is None
+                and not self.is_initializing()
+                and jax.default_backend() == 'tpu'):
+            alpha_condition, rgb_condition = self.get_condition_inputs(
+                viewdirs, metadata, extra_params, metadata_encoded)
+            if rgb_condition is not None:
+                rgb, sigma = self._render_level_fused(
+                    level, points, warp_embed, alpha_condition,
+                    rgb_condition, stratified)
+                sigma = filter_sigma(points, sigma, render_opts)
+                out.update(volumetric_rendering(
+                    rgb, sigma, z_vals, directions,
+                    use_white_background=cfg.use_white_background,
+                    sample_at_infinity=use_sample_at_infinity))
+                return out
 
         # Broadcast per-ray embeddings across samples.
         if warp_embed is not None:

@@ -206,9 +206,44 @@ def _make_fwd_kernel(spec: FusedFieldSpec, n_layers: int):
     return kernel
 
 
-def _make_bwd_kernel(spec: FusedFieldSpec, n_layers: int):
+def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs):
+    """Recompute + backprop one tile (pure values, reusable by other kernels).
+
+    Returns (dx_raw (T, raw_ch) fp32, [(dW, db) fp32 per layer]).
+    """
     s = spec
     dt = jnp.dtype(s.compute_dtype)
+    enc, ins, outs, logit_in, _ = _forward_tile(s, x_raw, wbs)
+    t = x_raw.shape[0]
+    grads = [None] * (s.depth + 1)
+
+    def acc(k, dw, db):
+        grads[k] = (dw, db)
+
+    g_out_c = g_out.astype(dt)
+    acc(s.depth, _dot_acc(logit_in, g_out_c),
+        jnp.sum(g_out, axis=0, keepdims=True))
+    gh = _dot_t(g_out_c, wbs[s.depth][0]).astype(dt)
+
+    g_enc_acc = jnp.zeros((t, s.enc_pad), jnp.float32)
+    if (s.depth - 1) in s.skips:
+        g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
+        gh = gh[:, :s.w_pad]
+    for i in range(s.depth - 1, -1, -1):
+        gh = jnp.where(outs[i].astype(jnp.float32) > 0, gh, 0).astype(dt)
+        acc(i, _dot_acc(ins[i], gh),
+            jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
+        gh = _dot_t(gh, wbs[i][0]).astype(dt)
+        if i > 0 and (i - 1) in s.skips:
+            g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
+            gh = gh[:, :s.w_pad]
+    g_enc_acc += gh.astype(jnp.float32)
+    dx_raw = _encode_bwd(s, x_raw[:, :s.raw_ch], g_enc_acc)
+    return dx_raw, grads
+
+
+def _make_bwd_kernel(spec: FusedFieldSpec, n_layers: int):
+    s = spec
 
     def kernel(*refs):
         x_ref = refs[0]
@@ -225,33 +260,15 @@ def _make_bwd_kernel(spec: FusedFieldSpec, n_layers: int):
                 r[:] = jnp.zeros(r.shape, r.dtype)
 
         x_raw = x_ref[:]
-        enc, ins, outs, logit_in, _ = _forward_tile(s, x_raw, wbs)
-        t = x_raw.shape[0]
-
-        def acc(k, dw, db):
+        dx_raw, grads = _backward_tile(s, x_raw, g_ref[:], wbs)
+        pad = x_raw.shape[1] - s.raw_ch
+        if pad:
+            dx_raw = jnp.concatenate(
+                [dx_raw, jnp.zeros((x_raw.shape[0], pad), jnp.float32)], -1)
+        dx_ref[:] = dx_raw.astype(dx_ref.dtype)
+        for k, (dw, db) in enumerate(grads):
             dwb_refs[2 * k][:] += dw
             dwb_refs[2 * k + 1][:] += db
-
-        g_out = g_ref[:]  # (T, OUT_PAD) fp32
-        g_out_c = g_out.astype(dt)
-        acc(s.depth, _dot_acc(logit_in, g_out_c),
-            jnp.sum(g_out, axis=0, keepdims=True))
-        gh = _dot_t(g_out_c, wbs[s.depth][0]).astype(dt)
-
-        g_enc_acc = jnp.zeros((t, s.enc_pad), jnp.float32)
-        if (s.depth - 1) in s.skips:
-            g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
-            gh = gh[:, :s.w_pad]
-        for i in range(s.depth - 1, -1, -1):
-            gh = jnp.where(outs[i].astype(jnp.float32) > 0, gh, 0).astype(dt)
-            acc(i, _dot_acc(ins[i], gh),
-                jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
-            gh = _dot_t(gh, wbs[i][0]).astype(dt)
-            if i > 0 and (i - 1) in s.skips:
-                g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
-                gh = gh[:, :s.w_pad]
-        g_enc_acc += gh.astype(jnp.float32)
-        dx_ref[:] = _encode_bwd(s, x_raw, g_enc_acc).astype(dx_ref.dtype)
     return kernel
 
 

@@ -296,9 +296,112 @@ def _make_fwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
     return kernel
 
 
-def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
+def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs):
+    """Recompute + backprop one tile (pure values, reusable by fused_level).
+
+    Args:
+      x: (T, in_pad|raw) input as given to the forward; rgbc/alphac padded
+        condition tiles; g_all: (T, 8) packed [g_rgb | g_alpha | 0] fp32.
+
+    Returns (dx, drgbc, dalphac, grads) where dx is (T, raw_ch) when
+    enc_segments is set else (T, in_pad), and grads is [(dW, db)] fp32.
+    """
     s = spec
     bf = jnp.dtype(s.compute_dtype)
+    n_layers = len(wbs)
+    _, _, st = _forward_tile(s, x, rgbc, alphac, wbs)
+    t = g_all.shape[0]
+    grads = [None] * n_layers
+
+    def acc(k, dw, db):
+        grads[k] = (dw, db)
+
+    g_rgb = jnp.concatenate(
+        [g_all[:, :s.rgb_channels],
+         jnp.zeros((t, HEAD_PAD - s.rgb_channels), jnp.float32)], -1)
+    g_alpha = jnp.concatenate(
+        [g_all[:, s.rgb_channels:s.rgb_channels + s.alpha_channels],
+         jnp.zeros((t, HEAD_PAD - s.alpha_channels), jnp.float32)], -1)
+
+    # --- rgb logit ---
+    k = n_layers - 1
+    g_rgb_b = g_rgb.astype(bf)
+    acc(k, _dot_acc(st['rl_in'], g_rgb_b),
+        jnp.sum(g_rgb, axis=0, keepdims=True))
+    gg = _dot_t(g_rgb_b, wbs[k][0]).astype(bf)
+
+    rin_w = s.bw + s.rc
+    g_rin_acc = jnp.zeros((t, rin_w), jnp.float32)
+    if (s.rgb_depth - 1) in s.skips:
+        g_rin_acc += gg[:, s.rw:].astype(jnp.float32)
+        gg = gg[:, :s.rw]
+    # --- rgb hidden layers ---
+    for j in range(s.rgb_depth - 1, -1, -1):
+        k = n_layers - 1 - (s.rgb_depth - j)
+        gg = jnp.where(st['rgb_outs'][j].astype(jnp.float32) > 0,
+                       gg, 0).astype(bf)
+        acc(k, _dot_acc(st['rgb_ins'][j], gg),
+            jnp.sum(gg.astype(jnp.float32), axis=0, keepdims=True))
+        gg = _dot_t(gg, wbs[k][0]).astype(bf)
+        if j > 0 and (j - 1) in s.skips:
+            g_rin_acc += gg[:, s.rw:].astype(jnp.float32)
+            gg = gg[:, :s.rw]
+    g_rin_acc += gg.astype(jnp.float32)  # (T, bw + rc)
+
+    g_b = g_rin_acc[:, :s.bw]
+    drgbc = g_rin_acc[:, s.bw:]
+
+    # --- alpha head ---
+    k_alpha = s.trunk_depth + 2
+    g_alpha_b = g_alpha.astype(bf)
+    acc(k_alpha, _dot_acc(st['a_in'], g_alpha_b),
+        jnp.sum(g_alpha, axis=0, keepdims=True))
+    ga = _dot_t(g_alpha_b, wbs[k_alpha][0]).astype(jnp.float32)
+    g_b = g_b + ga[:, :s.bw]
+    dalphac = ga[:, s.bw:] if alphac is not None else None
+
+    # --- bottleneck ---
+    k_bn = s.trunk_depth + 1
+    g_b_bf = g_b.astype(bf)
+    acc(k_bn, _dot_acc(st['hl'], g_b_bf),
+        jnp.sum(g_b, axis=0, keepdims=True))
+    g_hl = _dot_t(g_b_bf, wbs[k_bn][0]).astype(jnp.float32)
+
+    # --- trunk logit (relu) ---
+    k_tl = s.trunk_depth
+    g_hl = jnp.where(st['hl'].astype(jnp.float32) > 0, g_hl, 0).astype(bf)
+    acc(k_tl, _dot_acc(st['tl_in'], g_hl),
+        jnp.sum(g_hl.astype(jnp.float32), axis=0, keepdims=True))
+    gh = _dot_t(g_hl, wbs[k_tl][0]).astype(bf)
+
+    g_x_acc = jnp.zeros((t, s.in_pad), jnp.float32)
+    if (s.trunk_depth - 1) in s.skips:
+        g_x_acc += gh[:, s.tw:].astype(jnp.float32)
+        gh = gh[:, :s.tw]
+    # --- trunk hidden layers ---
+    for i in range(s.trunk_depth - 1, -1, -1):
+        gh = jnp.where(st['trunk_outs'][i].astype(jnp.float32) > 0,
+                       gh, 0).astype(bf)
+        acc(i, _dot_acc(st['trunk_ins'][i], gh),
+            jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
+        gh = _dot_t(gh, wbs[i][0]).astype(bf)
+        if i > 0 and (i - 1) in s.skips:
+            g_x_acc += gh[:, s.tw:].astype(jnp.float32)
+            gh = gh[:, :s.tw]
+    g_x_acc += gh.astype(jnp.float32)
+    if s.enc_segments:
+        from hypernerf_tpu.ops.pallas.fused_field import (
+            FusedFieldSpec as _FS, _encode_bwd)
+        fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
+        raw_ch = sum(c for c, _ in s.enc_segments)
+        dx = _encode_bwd(fs, x[:, :raw_ch], g_x_acc)
+    else:
+        dx = g_x_acc
+    return dx, drgbc, dalphac, grads
+
+
+def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
+    s = spec
 
     def kernel(*refs):
         x_ref, rgbc_ref = refs[0], refs[1]
@@ -317,111 +420,26 @@ def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
         o += 1 if has_ac else 0
         dwb_refs = refs[o:o + 2 * n_layers]
 
-        step = pl.program_id(0)
-
-        @pl.when(step == 0)
+        @pl.when(pl.program_id(0) == 0)
         def _():
             for r in dwb_refs:
                 r[:] = jnp.zeros(r.shape, r.dtype)
 
         alphac = alphac_ref[:] if has_ac else None
         x = x_ref[:]
-        rgbc = rgbc_ref[:]
-        _, _, st = _forward_tile(s, x, rgbc, alphac, wbs)
-
-        tpad = 8 - s.rgb_channels - s.alpha_channels
-        g_all = g_ref[:]  # (T, 8) fp32
-        t = g_all.shape[0]
-        g_rgb = jnp.concatenate(
-            [g_all[:, :s.rgb_channels],
-             jnp.zeros((t, HEAD_PAD - s.rgb_channels), jnp.float32)], -1)
-        g_alpha = jnp.concatenate(
-            [g_all[:, s.rgb_channels:s.rgb_channels + s.alpha_channels],
-             jnp.zeros((t, HEAD_PAD - s.alpha_channels), jnp.float32)], -1)
-
-        def acc(k, dw, db):
+        dx, drgbc, dalphac, grads = _backward_tile(
+            s, x, rgbc_ref[:], alphac, g_ref[:], wbs)
+        pad = dx_ref.shape[1] - dx.shape[1]
+        if pad:
+            dx = jnp.concatenate(
+                [dx, jnp.zeros((dx.shape[0], pad), jnp.float32)], -1)
+        dx_ref[:] = dx.astype(dx_ref.dtype)
+        drgbc_ref[:] = drgbc.astype(drgbc_ref.dtype)
+        if has_ac:
+            dalphac_ref[:] = dalphac.astype(dalphac_ref.dtype)
+        for k, (dw, db) in enumerate(grads):
             dwb_refs[2 * k][:] += dw
             dwb_refs[2 * k + 1][:] += db
-
-        # --- rgb logit ---
-        k = n_layers - 1
-        g_rgb_b = g_rgb.astype(bf)
-        acc(k, _dot_acc(st['rl_in'], g_rgb_b),
-            jnp.sum(g_rgb, axis=0, keepdims=True))
-        gg = _dot_t(g_rgb_b, wbs[k][0]).astype(bf)
-
-        rin_w = s.bw + s.rc
-        g_rin_acc = jnp.zeros((t, rin_w), jnp.float32)
-        if (s.rgb_depth - 1) in s.skips:
-            g_rin_acc += gg[:, s.rw:].astype(jnp.float32)
-            gg = gg[:, :s.rw]
-        # --- rgb hidden layers ---
-        for j in range(s.rgb_depth - 1, -1, -1):
-            k = n_layers - 1 - (s.rgb_depth - j)
-            gg = jnp.where(st['rgb_outs'][j].astype(jnp.float32) > 0,
-                           gg, 0).astype(bf)
-            acc(k, _dot_acc(st['rgb_ins'][j], gg),
-                jnp.sum(gg.astype(jnp.float32), axis=0, keepdims=True))
-            gg = _dot_t(gg, wbs[k][0]).astype(bf)
-            if j > 0 and (j - 1) in s.skips:
-                g_rin_acc += gg[:, s.rw:].astype(jnp.float32)
-                gg = gg[:, :s.rw]
-        g_rin_acc += gg.astype(jnp.float32)  # (T, bw + rc)
-
-        g_b = g_rin_acc[:, :s.bw]
-        drgbc_ref[:] = g_rin_acc[:, s.bw:].astype(drgbc_ref.dtype)
-
-        # --- alpha head ---
-        k_alpha = s.trunk_depth + 2
-        g_alpha_b = g_alpha.astype(bf)
-        acc(k_alpha, _dot_acc(st['a_in'], g_alpha_b),
-            jnp.sum(g_alpha, axis=0, keepdims=True))
-        ga = _dot_t(g_alpha_b, wbs[k_alpha][0]).astype(jnp.float32)
-        g_b = g_b + ga[:, :s.bw]
-        if has_ac:
-            dalphac_ref[:] = ga[:, s.bw:].astype(dalphac_ref.dtype)
-
-        # --- bottleneck ---
-        k_bn = s.trunk_depth + 1
-        g_b_bf = g_b.astype(bf)
-        acc(k_bn, _dot_acc(st['hl'], g_b_bf),
-            jnp.sum(g_b, axis=0, keepdims=True))
-        g_hl = _dot_t(g_b_bf, wbs[k_bn][0]).astype(jnp.float32)
-
-        # --- trunk logit (relu) ---
-        k_tl = s.trunk_depth
-        g_hl = jnp.where(st['hl'].astype(jnp.float32) > 0,
-                         g_hl, 0).astype(bf)
-        acc(k_tl, _dot_acc(st['tl_in'], g_hl),
-            jnp.sum(g_hl.astype(jnp.float32), axis=0, keepdims=True))
-        gh = _dot_t(g_hl, wbs[k_tl][0]).astype(bf)
-
-        g_x_acc = jnp.zeros((t, s.in_pad), jnp.float32)
-        if (s.trunk_depth - 1) in s.skips:
-            g_x_acc += gh[:, s.tw:].astype(jnp.float32)
-            gh = gh[:, :s.tw]
-        # --- trunk hidden layers ---
-        for i in range(s.trunk_depth - 1, -1, -1):
-            gh = jnp.where(st['trunk_outs'][i].astype(jnp.float32) > 0,
-                           gh, 0).astype(bf)
-            acc(i, _dot_acc(st['trunk_ins'][i], gh),
-                jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
-            gh = _dot_t(gh, wbs[i][0]).astype(bf)
-            if i > 0 and (i - 1) in s.skips:
-                g_x_acc += gh[:, s.tw:].astype(jnp.float32)
-                gh = gh[:, :s.tw]
-        g_x_acc += gh.astype(jnp.float32)
-        if s.enc_segments:
-            from hypernerf_tpu.ops.pallas.fused_field import (
-                FusedFieldSpec as _FS, _encode_bwd)
-            fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
-            raw_ch = sum(c for c, _ in s.enc_segments)
-            dx_raw = _encode_bwd(fs, x[:, :raw_ch], g_x_acc)
-            dx_raw = jnp.concatenate(
-                [dx_raw, jnp.zeros((t, RAW_PAD - raw_ch), jnp.float32)], -1)
-            dx_ref[:] = dx_raw.astype(dx_ref.dtype)
-        else:
-            dx_ref[:] = g_x_acc.astype(dx_ref.dtype)
     return kernel
 
 

@@ -1,0 +1,143 @@
+"""Fully fused level kernel vs the composed jnp modules (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypernerf_tpu.models.modules import MLP, HyperSheetMLP, NerfMLP
+from hypernerf_tpu.models.warping import TranslationField
+from hypernerf_tpu.ops.pallas.fused_field import mlp_params_to_list
+from hypernerf_tpu.ops.pallas.fused_level import FusedLevelSpec, fused_level
+from hypernerf_tpu.ops.pallas.fused_mlp import nerf_mlp_params_to_list
+from hypernerf_tpu.ops.posenc import posenc_orig
+
+B, S, E, H = 3, 8, 8, 4
+SPEC = FusedLevelSpec(
+    embed_ch=E,
+    warp_depth=2, warp_width=16, warp_freq=4,
+    hyper_depth=2, hyper_width=16, hyper_sheet_freq=3, hyper_out=H,
+    xyz_freq=4, hyper_freq=2,
+    trunk_depth=3, trunk_width=32, rgb_depth=2, rgb_width=16,
+    rgb_cond_ch=11, alpha_cond_ch=0, skips=(1,),
+    tile=8, bwd_tile=8, interpret=True, compute_dtype='float32')
+
+
+def _setup(seed=0):
+    rs = np.random.RandomState(seed)
+    pts = jnp.asarray(rs.randn(B, S, 3).astype(np.float32) * 0.4)
+    embed = jnp.asarray(rs.randn(B, E).astype(np.float32) * 0.2)
+    rgbc = jnp.asarray(rs.randn(B, 11).astype(np.float32))
+
+    warp = TranslationField(depth=2, width=16, n_freq=4, skips=(1,))
+    hyper = HyperSheetMLP(out_ch=H, depth=2, width=16, n_freq=3, skips=(1,))
+    tmpl = NerfMLP(trunk_depth=3, trunk_width=32, rgb_branch_depth=2,
+                   rgb_branch_width=16, skips=(1,))
+
+    embed_b = jnp.broadcast_to(embed[:, None, :], (B, S, E))
+    wp = warp.init(jax.random.PRNGKey(0), pts, embed_b)['params']
+    hp = hyper.init(jax.random.PRNGKey(1), pts, embed_b)['params']
+    feat = jnp.concatenate([posenc_orig(pts, 4),
+                            posenc_orig(jnp.zeros((B, S, H)), 2)], -1)
+    tp = tmpl.init(jax.random.PRNGKey(2), feat, rgb_condition=rgbc)['params']
+    return pts, embed, rgbc, (warp, wp), (hyper, hp), (tmpl, tp)
+
+
+def _reference(pts, embed, rgbc, warp_mh, hyper_mh, tmpl_mh):
+    warp, wp = warp_mh
+    hyper, hp = hyper_mh
+    tmpl, tp = tmpl_mh
+    embed_b = jnp.broadcast_to(embed[:, None, :], (B, S, E))
+    warped = warp.apply({'params': wp}, pts, embed_b)['warped_points']
+    hyper_pts = hyper.apply({'params': hp}, pts, embed_b)
+    feat = jnp.concatenate([posenc_orig(warped, 4),
+                            posenc_orig(hyper_pts, 2)], -1)
+    out = tmpl.apply({'params': tp}, feat, rgb_condition=rgbc)
+    return out['rgb'], out['alpha']
+
+
+def _fused(pts, embed, rgbc, warp_mh, hyper_mh, tmpl_mh):
+    wp = mlp_params_to_list(warp_mh[1]['mlp'])
+    hp = mlp_params_to_list(hyper_mh[1]['mlp'])
+    tp = nerf_mlp_params_to_list(tmpl_mh[1])
+    pts_flat = pts.reshape(-1, 3)
+    emb_flat = jnp.broadcast_to(embed[:, None, :], (B, S, E)).reshape(-1, E)
+    rgbc_flat = jnp.broadcast_to(rgbc[:, None, :], (B, S, 11)).reshape(-1, 11)
+    out = fused_level(SPEC, pts_flat, emb_flat, rgbc_flat, None, wp, hp, tp)
+    return out['rgb'].reshape(B, S, 3), out['alpha'].reshape(B, S, 1)
+
+
+def test_fused_level_forward_matches_composition():
+    pts, embed, rgbc, wm, hm, tm = _setup()
+    ref_rgb, ref_alpha = _reference(pts, embed, rgbc, wm, hm, tm)
+    got_rgb, got_alpha = _fused(pts, embed, rgbc, wm, hm, tm)
+    np.testing.assert_allclose(np.asarray(got_rgb), np.asarray(ref_rgb),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_alpha), np.asarray(ref_alpha),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_level_backward_matches_composition():
+    pts, embed, rgbc, (warp, wp0), (hyper, hp0), (tmpl, tp0) = _setup()
+    tgt = jnp.asarray(np.random.RandomState(9).randn(B, S, 3), jnp.float32)
+
+    def loss_ref(wp, hp, tp, pts, embed):
+        embed_b = jnp.broadcast_to(embed[:, None, :], (B, S, E))
+        warped = warp.apply({'params': wp}, pts, embed_b)['warped_points']
+        hyper_pts = hyper.apply({'params': hp}, pts, embed_b)
+        feat = jnp.concatenate([posenc_orig(warped, 4),
+                                posenc_orig(hyper_pts, 2)], -1)
+        out = tmpl.apply({'params': tp}, feat, rgb_condition=rgbc)
+        return (jnp.mean((out['rgb'] - tgt) ** 2)
+                + jnp.mean(out['alpha'] ** 2))
+
+    def loss_fused(wp_l, hp_l, tp_l, pts, embed):
+        pts_flat = pts.reshape(-1, 3)
+        emb_flat = jnp.broadcast_to(embed[:, None, :],
+                                    (B, S, E)).reshape(-1, E)
+        rgbc_flat = jnp.broadcast_to(rgbc[:, None, :],
+                                     (B, S, 11)).reshape(-1, 11)
+        out = fused_level(SPEC, pts_flat, emb_flat, rgbc_flat, None,
+                          wp_l, hp_l, tp_l)
+        rgb = out['rgb'].reshape(B, S, 3)
+        return jnp.mean((rgb - tgt) ** 2) + jnp.mean(out['alpha'] ** 2)
+
+    wp_l = mlp_params_to_list(wp0['mlp'])
+    hp_l = mlp_params_to_list(hp0['mlp'])
+    tp_l = nerf_mlp_params_to_list(tp0)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+        wp_l, hp_l, tp_l, pts, embed)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        wp0, hp0, tp0, pts, embed)
+
+    # d points and d embed (embed grad summed over samples by broadcast VJP).
+    np.testing.assert_allclose(np.asarray(gf[3]), np.asarray(gr[3]),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf[4]), np.asarray(gr[4]),
+                               rtol=1e-3, atol=1e-5)
+
+    # Warp MLP grads.
+    for i, (dw, db) in enumerate(gf[0]):
+        name = f'hidden_{i}' if i < 2 else 'logit'
+        np.testing.assert_allclose(np.asarray(dw),
+                                   np.asarray(gr[0]['mlp'][name]['kernel']),
+                                   rtol=1e-3, atol=1e-5, err_msg=f'warp {name}')
+    # Hyper MLP grads.
+    for i, (dw, db) in enumerate(gf[1]):
+        name = f'hidden_{i}' if i < 2 else 'logit'
+        np.testing.assert_allclose(np.asarray(dw),
+                                   np.asarray(gr[1]['mlp'][name]['kernel']),
+                                   rtol=1e-3, atol=1e-5,
+                                   err_msg=f'hyper {name}')
+    # Template trunk layer 0 (spot check) + heads.
+    from hypernerf_tpu.ops.pallas.fused_mlp import list_to_nerf_mlp_params
+    got_tree = list_to_nerf_mlp_params(gf[2], tp0)
+    for key, got, want in [
+            ('trunk0', got_tree['trunk']['hidden_0']['kernel'],
+             gr[2]['trunk']['hidden_0']['kernel']),
+            ('alpha', got_tree['alpha_head']['kernel'],
+             gr[2]['alpha_head']['kernel']),
+            ('rgb_logit', got_tree['rgb_branch']['logit']['kernel'],
+             gr[2]['rgb_branch']['logit']['kernel'])]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-5, err_msg=key)
