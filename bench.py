@@ -21,6 +21,9 @@ BASELINE_RAYS_PER_SEC = 4100.0  # 1x 2080Ti, BASELINE.md
 
 
 def main():
+    from hypernerf_tpu.utils.platform import apply_platform_overrides
+    apply_platform_overrides()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -33,7 +36,7 @@ def main():
                                                     make_train_step)
 
     n_chips = len(jax.devices())
-    batch_size = 4096 * n_chips
+    batch_size = 8192 * n_chips
     cfg = NerfConfig(
         num_embeddings=100,
         num_coarse_samples=64,
