@@ -141,3 +141,18 @@ def test_fused_level_backward_matches_composition():
              gr[2]['rgb_branch']['logit']['kernel'])]:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-3, atol=1e-5, err_msg=key)
+
+
+def test_fused_level_model_integration_cpu_fallback():
+    """On CPU the model gates the fused path off and still matches configs."""
+    from tests.conftest import make_rays, tiny_nerf_config
+    from hypernerf_tpu.models.nerf import NerfModel
+    from hypernerf_tpu.ops.ray_dict import prepare_ray_dict
+    cfg = tiny_nerf_config(use_pallas=True, use_pallas_level=True,
+                           use_pallas_fields=True)
+    model = NerfModel(cfg)
+    rd = prepare_ray_dict(jnp.asarray(make_rays(5)))
+    key = jax.random.PRNGKey(0)
+    variables = model.init({'params': key, 'sampling': key}, rd)
+    out = model.apply(variables, rd, deterministic=True)
+    assert np.isfinite(np.asarray(out['fine']['rgb'])).all()
