@@ -96,7 +96,10 @@ class NerfConfig:
     # Fuse warp + hyper sheet + template into ONE kernel per level (the
     # flagship translation+bendy_sheet config; falls back otherwise).
     use_pallas_level: bool = True
-    pallas_tile: int = 512
+    pallas_tile: int = 1024
+    # Backward-recompute kernels keep a whole tile's activations live; they
+    # need smaller tiles than the forward (VMEM scoped limit is 16MB).
+    pallas_bwd_tile: int = 256
 
     def __post_init__(self):
         if self.hyper_slice_method not in ('none', 'axis_aligned_plane',

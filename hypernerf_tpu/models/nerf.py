@@ -280,7 +280,7 @@ class NerfModel(nn.Module):
                            if alpha_condition is not None else 0),
             skips=cfg.skips,
             tile=cfg.pallas_tile,
-            bwd_tile=min(cfg.pallas_tile, 256),
+            bwd_tile=min(cfg.pallas_tile, cfg.pallas_bwd_tile),
             compute_dtype=cfg.compute_dtype)
         out = fused_level(
             spec,

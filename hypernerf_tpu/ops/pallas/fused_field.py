@@ -206,14 +206,19 @@ def _make_fwd_kernel(spec: FusedFieldSpec, n_layers: int):
     return kernel
 
 
-def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs):
+def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None):
     """Recompute + backprop one tile (pure values, reusable by other kernels).
+
+    ``fwd_vals`` may carry a precomputed ``_forward_tile`` result to avoid a
+    duplicate recompute when the caller already ran the forward in this tile.
 
     Returns (dx_raw (T, raw_ch) fp32, [(dW, db) fp32 per layer]).
     """
     s = spec
     dt = jnp.dtype(s.compute_dtype)
-    enc, ins, outs, logit_in, _ = _forward_tile(s, x_raw, wbs)
+    if fwd_vals is None:
+        fwd_vals = _forward_tile(s, x_raw, wbs)
+    enc, ins, outs, logit_in, _ = fwd_vals
     t = x_raw.shape[0]
     grads = [None] * (s.depth + 1)
 

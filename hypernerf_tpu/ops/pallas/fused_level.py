@@ -184,13 +184,14 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
         alphac = alphac_ref[:] if has_ac else None
         warp_wbs, hyper_wbs, tmpl_wbs = _split_wbs(s, wbs)
 
-        # Recompute the chain up to the template input.
+        # Recompute the chain up to the template input (field stashes are
+        # reused by their backward passes below — no duplicate recompute).
         pts = x_raw[:, :3].astype(jnp.float32)
         raw_f = x_raw[:, :3 + s.embed_ch]
-        *_, warp_out = ff._forward_tile(s.warp_fs, raw_f, warp_wbs)
-        warped = pts + warp_out[:, :3]
-        *_, hyper_out = ff._forward_tile(s.hyper_fs, raw_f, hyper_wbs)
-        hyper = hyper_out[:, :s.hyper_out]
+        warp_vals = ff._forward_tile(s.warp_fs, raw_f, warp_wbs)
+        warped = pts + warp_vals[-1][:, :3]
+        hyper_vals = ff._forward_tile(s.hyper_fs, raw_f, hyper_wbs)
+        hyper = hyper_vals[-1][:, :s.hyper_out]
         raw_t = jnp.concatenate([warped, hyper], axis=-1)
         t = x_raw.shape[0]
 
@@ -205,13 +206,14 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
             [d_hyper, jnp.zeros((t, ff.OUT_PAD - s.hyper_out), jnp.float32)],
             axis=-1)
         d_rawf_h, h_grads = ff._backward_tile(s.hyper_fs, raw_f, g_h,
-                                              hyper_wbs)
+                                              hyper_wbs, fwd_vals=hyper_vals)
 
         # Warp-field backward (delta head; the residual adds d_warped to
         # d_points directly).
         g_w = jnp.concatenate(
             [d_warped, jnp.zeros((t, ff.OUT_PAD - 3), jnp.float32)], axis=-1)
-        d_rawf_w, w_grads = ff._backward_tile(s.warp_fs, raw_f, g_w, warp_wbs)
+        d_rawf_w, w_grads = ff._backward_tile(s.warp_fs, raw_f, g_w, warp_wbs,
+                                              fwd_vals=warp_vals)
 
         d_pts = d_warped + d_rawf_w[:, :3] + d_rawf_h[:, :3]
         d_emb = d_rawf_w[:, 3:] + d_rawf_h[:, 3:]
