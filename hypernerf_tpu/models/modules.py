@@ -132,7 +132,6 @@ class NerfMLP(nn.Module):
                                                         fused_nerf_mlp,
                                                         nerf_mlp_params_to_list)
         batch_shape = x.shape[:-1]
-        n_samples = x.shape[-2]
         x_flat = x.reshape(-1, x.shape[-1])
 
         def flat_cond(c):

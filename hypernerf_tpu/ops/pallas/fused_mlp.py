@@ -235,7 +235,7 @@ def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs):
         from hypernerf_tpu.ops.pallas.fused_field import _encode
         fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
         assert fs.enc_ch == s.in_ch, (fs.enc_ch, s.in_ch)
-        x = _encode(fs._replace(), x)
+        x = _encode(fs, x)
         # _encode pads to fs.enc_pad == rup(in_ch, 128) == s.in_pad.
         stash['x_enc'] = x
     h = x
