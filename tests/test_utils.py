@@ -1,0 +1,67 @@
+"""Tests for metrics (SSIM), logging, and visualization utilities."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from hypernerf_tpu.training.metrics import mse, psnr, ssim
+from hypernerf_tpu.utils.logging import MetricsLogger
+from hypernerf_tpu.utils.visualization import to_uint8, visualize_depth
+
+
+def test_psnr_known_values():
+    a = jnp.zeros((8, 8, 3))
+    b = jnp.ones((8, 8, 3)) * 0.1
+    np.testing.assert_allclose(float(mse(a, b)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(psnr(a, b)), 20.0, rtol=1e-5)
+
+
+def test_psnr_valid_mask():
+    a = jnp.zeros((4, 4, 1))
+    b = jnp.ones((4, 4, 1))
+    mask = jnp.zeros((4, 4, 1), bool).at[0, 0, 0].set(True)
+    # Only one pixel differs within the mask -> mse over masked region = 1.
+    np.testing.assert_allclose(float(mse(a, b, valid_mask=mask)), 1.0)
+
+
+def test_ssim_identity_and_noise():
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.rand(32, 32, 3).astype(np.float32))
+    assert float(ssim(img, img)) > 0.999
+    noisy = img + jnp.asarray(rs.randn(32, 32, 3).astype(np.float32)) * 0.3
+    assert float(ssim(img, noisy)) < 0.8
+
+
+def test_visualize_depth():
+    depth = np.linspace(0, 1, 64).reshape(8, 8)
+    rgb = visualize_depth(depth)
+    assert rgb.shape == (8, 8, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+    # JET: near (min depth) is blue-ish, far is red-ish.
+    assert not np.allclose(rgb[0, 0], rgb[-1, -1])
+    # NaN-safe.
+    rgb2 = visualize_depth(np.full((4, 4), np.nan))
+    assert np.isfinite(rgb2).all()
+
+
+def test_to_uint8_clips():
+    img = np.array([[-0.5, 0.5, 1.5]])
+    out = to_uint8(img)
+    np.testing.assert_array_equal(out, [[0, 127, 255]])
+
+
+def test_metrics_logger_csv_and_images(tmp_path):
+    logger = MetricsLogger(str(tmp_path), 'exp', use_tensorboard=False)
+    logger.add_scalar('train/loss', 0.5, 1)
+    logger.add_scalar('val/psnr', 30.0, 2)
+    logger.add_images('val/GT_pred_depth',
+                      np.zeros((2, 4, 4, 3), np.float32), 2)
+    logger.close()
+    csv_path = os.path.join(str(tmp_path), 'exp', 'metrics.csv')
+    with open(csv_path) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == 'time,step,tag,value'
+    assert any('train/loss' in l for l in lines)
+    img_dir = os.path.join(str(tmp_path), 'exp', 'images')
+    assert len(os.listdir(img_dir)) == 2
