@@ -162,17 +162,14 @@ def _pad_params(spec: FusedFieldSpec, pairs):
     return padded
 
 
-def _dot(a, w, dt=jnp.float32):
-    # preferred_element_type only sets the OUTPUT dtype; the MXU accumulates
-    # bf16 inputs in fp32 internally either way, so bf16 out == fp32 out +
-    # round, minus a conversion pass.
+def _dot(a, w):
     return jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
-                               preferred_element_type=dt)
+                               preferred_element_type=jnp.float32)
 
 
-def _dot_t(g, w, dt=jnp.float32):
+def _dot_t(g, w):
     return jax.lax.dot_general(g, w, (((1,), (1,)), ((), ())),
-                               preferred_element_type=dt)
+                               preferred_element_type=jnp.float32)
 
 
 def _dot_acc(h, g):
@@ -188,7 +185,7 @@ def _forward_tile(spec: FusedFieldSpec, x_raw, wbs):
     for i in range(spec.depth):
         w, b = wbs[i]
         ins.append(h)
-        h = jnp.maximum(_dot(h, w, dt) + b, jnp.zeros((), dt))
+        h = jnp.maximum(_dot(h, w) + b.astype(jnp.float32), 0.0).astype(dt)
         outs.append(h)
         if i in spec.skips:
             h = jnp.concatenate([h, enc], axis=-1)
@@ -231,18 +228,17 @@ def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None):
     g_out_c = g_out.astype(dt)
     acc(s.depth, _dot_acc(logit_in, g_out_c),
         jnp.sum(g_out, axis=0, keepdims=True))
-    gh = _dot_t(g_out_c, wbs[s.depth][0], dt)
+    gh = _dot_t(g_out_c, wbs[s.depth][0]).astype(dt)
 
     g_enc_acc = jnp.zeros((t, s.enc_pad), jnp.float32)
     if (s.depth - 1) in s.skips:
         g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
         gh = gh[:, :s.w_pad]
     for i in range(s.depth - 1, -1, -1):
-        gh = jnp.where(outs[i].astype(jnp.float32) > 0, gh,
-                       jnp.zeros((), gh.dtype)).astype(dt)
+        gh = jnp.where(outs[i].astype(jnp.float32) > 0, gh, 0).astype(dt)
         acc(i, _dot_acc(ins[i], gh),
             jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
-        gh = _dot_t(gh, wbs[i][0], dt)
+        gh = _dot_t(gh, wbs[i][0]).astype(dt)
         if i > 0 and (i - 1) in s.skips:
             g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
             gh = gh[:, :s.w_pad]

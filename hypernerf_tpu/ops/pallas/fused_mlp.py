@@ -202,17 +202,15 @@ def _pad_params(spec: FusedMLPSpec, pairs):
     return padded
 
 
-def _dot(a, w, dt=jnp.float32):
-    # preferred_element_type only sets the OUTPUT dtype; the MXU accumulates
-    # bf16 inputs in fp32 internally either way.
+def _dot(a, w):
     return jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
-                               preferred_element_type=dt)
+                               preferred_element_type=jnp.float32)
 
 
-def _dot_t(g, w, dt=jnp.float32):
+def _dot_t(g, w):
     """g @ w^T via contraction on the output dim."""
     return jax.lax.dot_general(g, w, (((1,), (1,)), ((), ())),
-                               preferred_element_type=dt)
+                               preferred_element_type=jnp.float32)
 
 
 def _dot_acc(h, g):
@@ -241,20 +239,19 @@ def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs):
         # _encode pads to fs.enc_pad == rup(in_ch, 128) == s.in_pad.
         stash['x_enc'] = x
     h = x
-    zero = jnp.zeros((), bf)
     for i in range(s.trunk_depth):
         w, b = wbs[idx]; idx += 1
         stash['trunk_ins'].append(h)
-        h = jnp.maximum(_dot(h, w, bf) + b, zero)
+        h = jnp.maximum(_dot(h, w) + b.astype(jnp.float32), 0.0).astype(bf)
         stash['trunk_outs'].append(h)
         if i in s.skips:
             h = jnp.concatenate([h, x], axis=-1)
     w, b = wbs[idx]; idx += 1
     stash['tl_in'] = h
-    hl = jnp.maximum(_dot(h, w, bf) + b, zero)
+    hl = jnp.maximum(_dot(h, w) + b.astype(jnp.float32), 0.0).astype(bf)
     stash['hl'] = hl
     w, b = wbs[idx]; idx += 1
-    bneck = _dot(hl, w, bf) + b
+    bneck = (_dot(hl, w) + b.astype(jnp.float32)).astype(bf)
     stash['bneck'] = bneck
 
     a_in = bneck if alphac is None else jnp.concatenate([bneck, alphac], -1)
@@ -268,7 +265,7 @@ def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs):
     for j in range(s.rgb_depth):
         w, b = wbs[idx]; idx += 1
         stash['rgb_ins'].append(g)
-        g = jnp.maximum(_dot(g, w, bf) + b, zero)
+        g = jnp.maximum(_dot(g, w) + b.astype(jnp.float32), 0.0).astype(bf)
         stash['rgb_outs'].append(g)
         if j in s.skips:
             g = jnp.concatenate([g, r_in], axis=-1)
@@ -331,7 +328,7 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs):
     g_rgb_b = g_rgb.astype(bf)
     acc(k, _dot_acc(st['rl_in'], g_rgb_b),
         jnp.sum(g_rgb, axis=0, keepdims=True))
-    gg = _dot_t(g_rgb_b, wbs[k][0], bf)
+    gg = _dot_t(g_rgb_b, wbs[k][0]).astype(bf)
 
     rin_w = s.bw + s.rc
     g_rin_acc = jnp.zeros((t, rin_w), jnp.float32)
@@ -345,7 +342,7 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs):
                        gg, 0).astype(bf)
         acc(k, _dot_acc(st['rgb_ins'][j], gg),
             jnp.sum(gg.astype(jnp.float32), axis=0, keepdims=True))
-        gg = _dot_t(gg, wbs[k][0], bf)
+        gg = _dot_t(gg, wbs[k][0]).astype(bf)
         if j > 0 and (j - 1) in s.skips:
             g_rin_acc += gg[:, s.rw:].astype(jnp.float32)
             gg = gg[:, :s.rw]
@@ -375,7 +372,7 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs):
     g_hl = jnp.where(st['hl'].astype(jnp.float32) > 0, g_hl, 0).astype(bf)
     acc(k_tl, _dot_acc(st['tl_in'], g_hl),
         jnp.sum(g_hl.astype(jnp.float32), axis=0, keepdims=True))
-    gh = _dot_t(g_hl, wbs[k_tl][0], bf)
+    gh = _dot_t(g_hl, wbs[k_tl][0]).astype(bf)
 
     g_x_acc = jnp.zeros((t, s.in_pad), jnp.float32)
     if (s.trunk_depth - 1) in s.skips:
@@ -387,7 +384,7 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs):
                        gh, 0).astype(bf)
         acc(i, _dot_acc(st['trunk_ins'][i], gh),
             jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
-        gh = _dot_t(gh, wbs[i][0], bf)
+        gh = _dot_t(gh, wbs[i][0]).astype(bf)
         if i > 0 and (i - 1) in s.skips:
             g_x_acc += gh[:, s.tw:].astype(jnp.float32)
             gh = gh[:, :s.tw]
