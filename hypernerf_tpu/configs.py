@@ -153,6 +153,7 @@ class TrainConfig:
     spheric_poses: bool = False
     use_nerfies_meta: bool = True
 
+    loss_type: str = 'mse'
     batch_size: int = 2048
     chunk: int = 8192  # eval render tile (device-side lax.map tile size)
     num_epochs: int = 20

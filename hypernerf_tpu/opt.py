@@ -182,6 +182,7 @@ def configs_from_args(args) -> tuple:
         compute_dtype=compute_dtype,
     )
     train_cfg = TrainConfig(
+        loss_type=args.loss_type,
         root_dir=args.root_dir,
         dataset_name=args.dataset_name,
         img_wh=tuple(args.img_wh),

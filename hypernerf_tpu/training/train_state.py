@@ -105,7 +105,7 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
             f'batch_size {train_cfg.batch_size} must be divisible by the '
             f'number of devices {n_devices}')
     per_device_batch = train_cfg.batch_size // n_devices
-    loss_fn = loss_dict['mse']
+    loss_fn = loss_dict[train_cfg.loss_type]
 
     def device_step(state, all_rays, all_rgbs, base_rng):
         axis = jax.lax.axis_index(DATA_AXIS)

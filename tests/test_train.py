@@ -204,3 +204,37 @@ def test_renderer_padding():
     out = renderer(variables['params'], rays)  # 50 -> pads to 64
     assert out['coarse']['rgb'].shape == (50, 3)
     assert np.isfinite(out['coarse']['rgb']).all()
+
+
+def test_trainer_blender_dataset(tmp_path):
+    """Trainer end-to-end on a Blender scene (white background honored)."""
+    import json
+    from PIL import Image
+    rs = np.random.RandomState(0)
+    frames = []
+    (tmp_path / 'train').mkdir()
+    for i in range(2):
+        img = (rs.rand(16, 16, 4) * 255).astype(np.uint8)
+        Image.fromarray(img, 'RGBA').save(tmp_path / 'train' / f'r_{i}.png')
+        c2w = np.eye(4); c2w[2, 3] = 4.0
+        frames.append({'file_path': f'./train/r_{i}',
+                       'transform_matrix': c2w.tolist()})
+    meta = {'camera_angle_x': 0.7, 'frames': frames}
+    for split in ('train', 'val'):
+        with open(tmp_path / f'transforms_{split}.json', 'w') as f:
+            json.dump(meta, f)
+
+    from tests.conftest import tiny_nerf_config
+    from hypernerf_tpu.training.trainer import Trainer
+    cfg = tiny_nerf_config(num_fine_samples=0, num_coarse_samples=4,
+                           noise_std=0.0)
+    tc = TrainConfig(root_dir=str(tmp_path), dataset_name='blender',
+                     img_wh=(16, 16), batch_size=32, chunk=64, max_steps=2,
+                     num_sanity_val_steps=0, log_every=1, exp_name='b',
+                     ckpt_dir=str(tmp_path / 'ckpts'),
+                     log_dir=str(tmp_path / 'logs'))
+    trainer = Trainer(cfg, tc, mesh=create_mesh(num_devices=1))
+    # Dataset white background propagates into the model config.
+    assert trainer.nerf_cfg.use_white_background
+    metrics = trainer.fit(progress=False)
+    assert np.isfinite(metrics['train/loss'])
