@@ -26,7 +26,7 @@ kernel against it in interpret mode (CPU) and compiled (TPU).
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

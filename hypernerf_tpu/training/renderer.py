@@ -9,8 +9,7 @@ per image geometry, zero host round-trips.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

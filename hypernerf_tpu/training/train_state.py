@@ -18,8 +18,7 @@ This replaces the reference's PyTorch-Lightning training loop
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Any
 
 import flax.struct
 import jax

@@ -30,11 +30,9 @@ from hypernerf_tpu.datasets import dataset_dict
 from hypernerf_tpu.models.nerf import NerfModel
 from hypernerf_tpu.parallel.mesh import create_mesh, replicate
 from hypernerf_tpu.training import checkpoints as ckpt_lib
-from hypernerf_tpu.training.metrics import psnr as psnr_fn
 from hypernerf_tpu.training.optimizers import get_optimizer
 from hypernerf_tpu.training.renderer import ImageRenderer
-from hypernerf_tpu.training.train_state import (TrainState,
-                                                create_train_state,
+from hypernerf_tpu.training.train_state import (create_train_state,
                                                 forward_params,
                                                 make_train_step)
 from hypernerf_tpu.utils.logging import MetricsLogger

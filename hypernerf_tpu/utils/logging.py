@@ -11,8 +11,6 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Optional
-
 import numpy as np
 
 
