@@ -33,6 +33,10 @@ def main():
     parser.add_argument('--height', type=int, default=120)
     parser.add_argument('--static', action='store_true',
                         help='train a static NeRF instead (ablation)')
+    parser.add_argument('--mode', type=str, default=None,
+                        choices=[None, 'hypernerf', 'static', 'se3',
+                                 'plane', 'anneal'],
+                        help='model variant to validate')
     parser.add_argument('--report', type=str, default=None,
                         help='append a JSON result line to this file')
     args = parser.parse_args()
@@ -48,20 +52,35 @@ def main():
     from hypernerf_tpu.configs import NerfConfig, TrainConfig
     from hypernerf_tpu.training.trainer import Trainer
 
-    if args.static:
+    mode = args.mode or ('static' if args.static else 'hypernerf')
+    common = dict(num_coarse_samples=64, num_fine_samples=64)
+    if mode == 'static':
         nerf_cfg = NerfConfig(use_warp=False, hyper_slice_method='none',
-                              num_coarse_samples=64, num_fine_samples=64)
+                              **common)
+    elif mode == 'se3':
+        nerf_cfg = NerfConfig(use_warp=True, warp_field_type='se3',
+                              hyper_slice_method='bendy_sheet', **common)
+    elif mode == 'plane':
+        nerf_cfg = NerfConfig(use_warp=True,
+                              hyper_slice_method='axis_aligned_plane',
+                              **common)
+    elif mode == 'anneal':
+        nerf_cfg = NerfConfig(use_warp=True, hyper_slice_method='bendy_sheet',
+                              use_original_embed=False, **common)
     else:
         nerf_cfg = NerfConfig(use_warp=True, hyper_slice_method='bendy_sheet',
-                              num_coarse_samples=64, num_fine_samples=64)
+                              **common)
     train_cfg = TrainConfig(
         root_dir=args.out, dataset_name='llff',
         img_wh=(args.width, args.height),
         batch_size=args.batch_size, max_steps=args.steps,
         lr=5e-4, lr_scheduler='cosine', num_epochs=30,
+        # Coarse-to-fine annealing scaled to the run length (anneal mode).
+        warp_alpha_steps=max(1, args.steps // 2),
+        hyper_alpha_steps=max(1, args.steps // 8),
         log_every=500, val_check_interval=20.0,
         ckpt_every_steps=max(1000, args.steps // 4),
-        exp_name='synthetic_val' + ('_static' if args.static else ''),
+        exp_name='synthetic_val_' + mode,
         ckpt_dir=os.path.join(args.out, 'ckpts'),
         log_dir=os.path.join(args.out, 'logs'))
 
@@ -71,7 +90,7 @@ def main():
     wall = time.time() - t0
     val = trainer.validate(step=args.steps, log_images=False)
     result = {
-        'mode': 'static' if args.static else 'hypernerf',
+        'mode': mode,
         'steps': args.steps,
         'batch_size': args.batch_size,
         'wall_clock_s': round(wall, 1),
