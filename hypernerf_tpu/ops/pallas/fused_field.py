@@ -369,9 +369,8 @@ def fused_field_mlp(spec: FusedFieldSpec, x_raw, pairs):
     """
     s = spec
     p = x_raw.shape[0]
-    granularity = max(s.tile, s.bwd_tile or s.tile)
-    if granularity % min(s.tile, s.bwd_tile or s.tile):
-        raise ValueError('tile and bwd_tile must divide each other')
+    import math as _math
+    granularity = _math.lcm(s.tile, s.bwd_tile or s.tile)
     p_pad = _rup(p, granularity)
     x_in = x_raw.astype(jnp.float32)
     if p_pad != p:

@@ -348,8 +348,9 @@ def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
     """
     s = spec
     assert 3 + s.embed_ch <= RAW_PAD, 'embed too wide for RAW_PAD'
+    import math as _math
     p = points.shape[0]
-    granularity = max(s.tile, s.bwd_tile or s.tile)
+    granularity = _math.lcm(s.tile, s.bwd_tile or s.tile)
     p_pad = _rup(p, granularity)
 
     def pad_rows(a):

@@ -602,9 +602,8 @@ def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs):
     """
     s = spec
     p = x.shape[0]
-    granularity = max(s.tile, s.bwd_tile or s.tile)
-    if granularity % min(s.tile, s.bwd_tile or s.tile):
-        raise ValueError('tile and bwd_tile must divide each other')
+    import math as _math
+    granularity = _math.lcm(s.tile, s.bwd_tile or s.tile)
     p_pad = _rup(p, granularity)
 
     def pad_rows(a):

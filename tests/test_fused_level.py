@@ -156,3 +156,44 @@ def test_fused_level_model_integration_cpu_fallback():
     variables = model.init({'params': key, 'sampling': key}, rd)
     out = model.apply(variables, rd, deterministic=True)
     assert np.isfinite(np.asarray(out['fine']['rgb'])).all()
+
+
+def test_fused_level_with_alpha_condition():
+    """Alpha-condition variant (use_nerf_embed) through the level kernel."""
+    rs = np.random.RandomState(4)
+    pts = jnp.asarray(rs.randn(B, S, 3).astype(np.float32) * 0.4)
+    embed = jnp.asarray(rs.randn(B, E).astype(np.float32) * 0.2)
+    rgbc = jnp.asarray(rs.randn(B, 11).astype(np.float32))
+    alphac = jnp.asarray(rs.randn(B, 5).astype(np.float32))
+
+    warp = TranslationField(depth=2, width=16, n_freq=4, skips=(1,))
+    hyper = HyperSheetMLP(out_ch=H, depth=2, width=16, n_freq=3, skips=(1,))
+    tmpl = NerfMLP(trunk_depth=3, trunk_width=32, rgb_branch_depth=2,
+                   rgb_branch_width=16, skips=(1,))
+    embed_b = jnp.broadcast_to(embed[:, None, :], (B, S, E))
+    wp = warp.init(jax.random.PRNGKey(0), pts, embed_b)['params']
+    hp = hyper.init(jax.random.PRNGKey(1), pts, embed_b)['params']
+    feat = jnp.concatenate([posenc_orig(pts, 4),
+                            posenc_orig(jnp.zeros((B, S, H)), 2)], -1)
+    tp = tmpl.init(jax.random.PRNGKey(2), feat, alpha_condition=alphac,
+                   rgb_condition=rgbc)['params']
+
+    warped = warp.apply({'params': wp}, pts, embed_b)['warped_points']
+    hyper_pts = hyper.apply({'params': hp}, pts, embed_b)
+    feat = jnp.concatenate([posenc_orig(warped, 4),
+                            posenc_orig(hyper_pts, 2)], -1)
+    ref = tmpl.apply({'params': tp}, feat, alpha_condition=alphac,
+                     rgb_condition=rgbc)
+
+    spec = SPEC._replace(alpha_cond_ch=5)
+    out = fused_level(
+        spec, pts.reshape(-1, 3),
+        embed_b.reshape(-1, E),
+        jnp.broadcast_to(rgbc[:, None, :], (B, S, 11)).reshape(-1, 11),
+        jnp.broadcast_to(alphac[:, None, :], (B, S, 5)).reshape(-1, 5),
+        mlp_params_to_list(wp['mlp']), mlp_params_to_list(hp['mlp']),
+        nerf_mlp_params_to_list(tp))
+    np.testing.assert_allclose(np.asarray(out['alpha']).reshape(B, S, 1),
+                               np.asarray(ref['alpha']), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out['rgb']).reshape(B, S, 3),
+                               np.asarray(ref['rgb']), rtol=1e-4, atol=1e-5)
