@@ -67,6 +67,13 @@ class FusedLevelSpec(NamedTuple):
     bwd_tile: int = 256
     interpret: bool = False
     compute_dtype: str = 'bfloat16'
+    # Split backward: run the template backward as its own kernel (reusing
+    # fused_mlp's, at a larger tile since it doesn't hold the field stashes)
+    # and a lean fields-backward kernel. The forward saves the template's
+    # raw input (warped|hyper) so neither backward recomputes the other's
+    # forward chain.
+    split_bwd: bool = True
+    tmpl_bwd_tile: int = 512
 
     @property
     def warp_fs(self) -> 'ff.FusedFieldSpec':
@@ -94,6 +101,8 @@ class FusedLevelSpec(NamedTuple):
             alpha_channels=self.alpha_channels, skips=self.skips,
             rgb_cond_ch=self.rgb_cond_ch, alpha_cond_ch=self.alpha_cond_ch,
             compute_dtype=self.compute_dtype,
+            tile=self.tmpl_bwd_tile, bwd_tile=self.tmpl_bwd_tile,
+            interpret=self.interpret,
             enc_segments=((3, self.xyz_freq),
                           (self.hyper_out, self.hyper_freq)))
 
@@ -145,13 +154,18 @@ def _make_fwd_kernel(spec: FusedLevelSpec, has_ac: bool):
         wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(s.n_layers)]
         out_ref = refs[off + 2 * s.n_layers]
+        rawt_ref = refs[off + 2 * s.n_layers + 1]
         alphac = alphac_ref[:] if has_ac else None
-        rgb, alpha, _ = _forward_values(s, x_ref[:], rgbc_ref[:], alphac, wbs)
+        rgb, alpha, raw_t = _forward_values(s, x_ref[:], rgbc_ref[:], alphac,
+                                            wbs)
         t = rgb.shape[0]
         out_ref[:] = jnp.concatenate(
             [rgb[:, :s.rgb_channels], alpha[:, :s.alpha_channels],
              jnp.zeros((t, OUT_PAD - s.rgb_channels - s.alpha_channels),
                        jnp.float32)], axis=-1)
+        rawt_ref[:] = jnp.concatenate(
+            [raw_t, jnp.zeros((t, fm.RAW_PAD - raw_t.shape[1]),
+                              jnp.float32)], axis=-1)
     return kernel
 
 
@@ -254,6 +268,82 @@ def _weight_specs(padded_wbs):
     return w_in, w_specs
 
 
+
+
+def _make_fields_bwd_kernel(spec: FusedLevelSpec):
+    """Backward through warp field + hyper sheet given d(warped|hyper)."""
+    s = spec
+    n_field_layers = s.n_warp_layers + s.n_hyper_layers
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        dxt_ref = refs[1]
+        wbs = [(refs[2 + 2 * k][:], refs[2 + 2 * k + 1][:])
+               for k in range(n_field_layers)]
+        o = 2 + 2 * n_field_layers
+        dx_ref = refs[o]
+        dwb_refs = refs[o + 1:o + 1 + 2 * n_field_layers]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in dwb_refs:
+                r[:] = jnp.zeros(r.shape, r.dtype)
+
+        x_raw = x_ref[:]
+        raw_f = x_raw[:, :3 + s.embed_ch]
+        t = x_raw.shape[0]
+        warp_wbs = wbs[:s.n_warp_layers]
+        hyper_wbs = wbs[s.n_warp_layers:]
+
+        dx_t = dxt_ref[:]
+        d_warped = dx_t[:, :3]
+        d_hyper = dx_t[:, 3:3 + s.hyper_out]
+
+        g_h = jnp.concatenate(
+            [d_hyper, jnp.zeros((t, ff.OUT_PAD - s.hyper_out), jnp.float32)],
+            axis=-1)
+        d_rawf_h, h_grads = ff._backward_tile(s.hyper_fs, raw_f, g_h,
+                                              hyper_wbs)
+        g_w = jnp.concatenate(
+            [d_warped, jnp.zeros((t, ff.OUT_PAD - 3), jnp.float32)], axis=-1)
+        d_rawf_w, w_grads = ff._backward_tile(s.warp_fs, raw_f, g_w, warp_wbs)
+
+        d_pts = d_warped + d_rawf_w[:, :3] + d_rawf_h[:, :3]
+        d_emb = d_rawf_w[:, 3:] + d_rawf_h[:, 3:]
+        d_raw = jnp.concatenate(
+            [d_pts, d_emb,
+             jnp.zeros((t, RAW_PAD - 3 - s.embed_ch), jnp.float32)], axis=-1)
+        dx_ref[:] = d_raw.astype(dx_ref.dtype)
+        for k, (dw, db) in enumerate(w_grads + h_grads):
+            dwb_refs[2 * k][:] += dw
+            dwb_refs[2 * k + 1][:] += db
+    return kernel
+
+
+def _fields_bwd_call(spec: FusedLevelSpec, x_raw, dx_t, field_padded_wbs):
+    s = spec._replace(tile=spec.bwd_tile or spec.tile)
+    p = x_raw.shape[0]
+    w_in, w_specs = _weight_specs(field_padded_wbs)
+    in_specs = _data_specs(s, [x_raw.shape[1], fm.RAW_PAD]) + w_specs
+    out_shapes = [jax.ShapeDtypeStruct((p, x_raw.shape[1]), jnp.float32)]
+    out_specs = _data_specs(s, [x_raw.shape[1]])
+    for w, b in field_padded_wbs:
+        out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(b.shape, jnp.float32)]
+        out_specs += [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    return pl.pallas_call(
+        _make_fields_bwd_kernel(s),
+        grid=(p // s.tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=s.interpret,
+    )(x_raw, dx_t, *w_in)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused(spec, x_raw, rgbc, alphac, padded_flat):
     s = spec
@@ -269,20 +359,31 @@ def _fused(spec, x_raw, rgbc, alphac, padded_flat):
         _make_fwd_kernel(s, has_ac),
         grid=(p // s.tile,),
         in_specs=_data_specs(s, widths) + w_specs,
-        out_specs=pl.BlockSpec((s.tile, OUT_PAD), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, OUT_PAD), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((s.tile, OUT_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s.tile, fm.RAW_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((p, OUT_PAD), jnp.float32),
+                   jax.ShapeDtypeStruct((p, fm.RAW_PAD), jnp.float32)],
         interpret=s.interpret,
     )(*data_in, *w_in)
 
 
 def _fused_fwd(spec, x_raw, rgbc, alphac, padded_flat):
-    return _fused(spec, x_raw, rgbc, alphac, padded_flat), (
-        x_raw, rgbc, alphac, padded_flat)
+    out, raw_t = _fused(spec, x_raw, rgbc, alphac, padded_flat)
+    return (out, raw_t), (x_raw, rgbc, alphac, padded_flat, raw_t)
 
 
 def _fused_bwd(spec, res, g):
-    x_raw, rgbc, alphac, padded_flat = res
+    x_raw, rgbc, alphac, padded_flat, raw_t = res
+    # raw_t is an internal residual output; its cotangent (g[1]) is always
+    # zero because fused_level never exposes it.
+    g = g[0]
+    if spec.split_bwd:
+        return _fused_bwd_split(spec, x_raw, rgbc, alphac, padded_flat,
+                                raw_t, g)
     s = spec._replace(tile=spec.bwd_tile or spec.tile)
     p = x_raw.shape[0]
     has_ac = alphac is not None
@@ -327,6 +428,36 @@ def _fused_bwd(spec, res, g):
     return dx, drgbc, dalphac, dflat
 
 
+
+def _fused_bwd_split(spec, x_raw, rgbc, alphac, padded_flat, raw_t, g):
+    """Two-kernel backward: template bwd (fused_mlp's, larger tile) then a
+    lean fields bwd, stitched through dx_t = d(warped|hyper)."""
+    s = spec
+    padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
+                  for k in range(len(padded_flat) // 2)]
+    nw, nh = s.n_warp_layers, s.n_hyper_layers
+    field_wbs = padded_wbs[:nw + nh]
+    tmpl_wbs = padded_wbs[nw + nh:]
+
+    outs_t = fm._bwd_call(s.tmpl_fs, raw_t, rgbc, alphac, tmpl_wbs, g)
+    has_ac = alphac is not None
+    dx_t = outs_t[0]            # (P, fm.RAW_PAD) fp32
+    drgbc = outs_t[1].astype(rgbc.dtype)
+    o = 2
+    dalphac = outs_t[o].astype(alphac.dtype) if has_ac else None
+    o += 1 if has_ac else 0
+    tmpl_dflat = list(outs_t[o:])
+
+    outs_f = _fields_bwd_call(s, x_raw, dx_t, field_wbs)
+    dx = outs_f[0].astype(x_raw.dtype)
+    field_dflat = list(outs_f[1:])
+
+    dflat_all = field_dflat + tmpl_dflat
+    dflat = tuple(dflat_all[k].astype(padded_flat[k].dtype)
+                  for k in range(len(padded_flat)))
+    return dx, drgbc, dalphac, dflat
+
+
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
@@ -350,7 +481,8 @@ def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
     assert 3 + s.embed_ch <= RAW_PAD, 'embed too wide for RAW_PAD'
     import math as _math
     p = points.shape[0]
-    granularity = _math.lcm(s.tile, s.bwd_tile or s.tile)
+    granularity = _math.lcm(s.tile, s.bwd_tile or s.tile,
+                            s.tmpl_bwd_tile if s.split_bwd else 1)
     p_pad = _rup(p, granularity)
 
     def pad_rows(a):
@@ -371,7 +503,8 @@ def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
 
     padded = _pad_all_params(s, warp_pairs, hyper_pairs, tmpl_pairs)
     padded_flat = tuple(a for wb in padded for a in wb)
-    out = _fused(s, x_raw, rgbc, alphac, padded_flat)[:p]
+    out, _raw_t = _fused(s, x_raw, rgbc, alphac, padded_flat)
+    out = out[:p]
     return {'rgb': out[:, :s.rgb_channels],
             'alpha': out[:, s.rgb_channels:s.rgb_channels
                          + s.alpha_channels]}

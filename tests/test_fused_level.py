@@ -19,7 +19,8 @@ SPEC = FusedLevelSpec(
     xyz_freq=4, hyper_freq=2,
     trunk_depth=3, trunk_width=32, rgb_depth=2, rgb_width=16,
     rgb_cond_ch=11, alpha_cond_ch=0, skips=(1,),
-    tile=8, bwd_tile=8, interpret=True, compute_dtype='float32')
+    tile=8, bwd_tile=8, tmpl_bwd_tile=8, interpret=True,
+    compute_dtype='float32')
 
 
 def _setup(seed=0):
@@ -197,3 +198,32 @@ def test_fused_level_with_alpha_condition():
                                np.asarray(ref['alpha']), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out['rgb']).reshape(B, S, 3),
                                np.asarray(ref['rgb']), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_level_single_kernel_backward_matches_split():
+    """The split (two-kernel) and fused (one-kernel) backwards agree."""
+    pts, embed, rgbc, (warp, wp0), (hyper, hp0), (tmpl, tp0) = _setup(seed=3)
+    wp_l = mlp_params_to_list(wp0['mlp'])
+    hp_l = mlp_params_to_list(hp0['mlp'])
+    tp_l = nerf_mlp_params_to_list(tp0)
+    tgt = jnp.asarray(np.random.RandomState(11).randn(B, S, 3), jnp.float32)
+
+    def loss(spec, wp_l, pts):
+        emb_flat = jnp.broadcast_to(embed[:, None, :],
+                                    (B, S, E)).reshape(-1, E)
+        rgbc_flat = jnp.broadcast_to(rgbc[:, None, :],
+                                     (B, S, 11)).reshape(-1, 11)
+        out = fused_level(spec, pts.reshape(-1, 3), emb_flat, rgbc_flat,
+                          None, wp_l, hp_l, tp_l)
+        return jnp.mean((out['rgb'].reshape(B, S, 3) - tgt) ** 2)
+
+    g_split = jax.grad(lambda w, p: loss(SPEC, w, p),
+                       argnums=(0, 1))(wp_l, pts)
+    spec1 = SPEC._replace(split_bwd=False)
+    g_one = jax.grad(lambda w, p: loss(spec1, w, p),
+                     argnums=(0, 1))(wp_l, pts)
+    np.testing.assert_allclose(np.asarray(g_split[1]), np.asarray(g_one[1]),
+                               rtol=1e-5, atol=1e-7)
+    for (a, _), (b, _) in zip(g_split[0], g_one[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
