@@ -35,7 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-RAW_PAD = 8  # raw-point gradient output padded lanes
+RAW_PAD = 8  # minimum raw-point lane padding (see raw_pad_for)
+
+
+def raw_pad_for(raw_ch: int) -> int:
+    """Lane padding for raw-point inputs (multiple of 8, >= RAW_PAD)."""
+    return max(RAW_PAD, ((raw_ch + 7) // 8) * 8)
 HEAD_PAD = 8  # rgb (3) / alpha (1) heads padded to 8 output columns
 
 
@@ -613,9 +618,9 @@ def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs):
     if s.enc_segments:
         raw_ch = sum(c for c, _ in s.enc_segments)
         assert x.shape[1] == raw_ch, (x.shape, raw_ch)
-        # Raw points stay fp32 (posenc needs the precision); pad lanes to 8.
+        # Raw points stay fp32 (posenc needs the precision).
         x_pad = pad_rows(jnp.pad(x.astype(jnp.float32),
-                                 ((0, 0), (0, RAW_PAD - raw_ch))))
+                                 ((0, 0), (0, raw_pad_for(raw_ch) - raw_ch))))
     else:
         x_pad = pad_rows(jnp.pad(x.astype(dt),
                                  ((0, 0), (0, s.in_pad - s.in_ch))))

@@ -199,3 +199,35 @@ def test_fused_with_in_kernel_posenc():
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
                                    rtol=1e-3, atol=1e-5,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+def test_fused_with_wide_hyper_dims():
+    """axis_aligned_plane-style hyper coords (8ch > the min raw padding)."""
+    from hypernerf_tpu.ops.posenc import posenc_orig
+    mlp = NerfMLP(trunk_depth=2, trunk_width=32, rgb_branch_depth=2,
+                  rgb_branch_width=16, skips=(1,))
+    rs = np.random.RandomState(2)
+    B, S = 2, 8
+    pts = jnp.asarray(rs.randn(B, S, 11).astype(np.float32) * 0.5)  # 3+8
+    rgbc = jnp.asarray(rs.randn(B, 11).astype(np.float32))
+    x_enc = jnp.concatenate([posenc_orig(pts[..., :3], 4),
+                             posenc_orig(pts[..., 3:], 2)], -1)
+    params = mlp.init(jax.random.PRNGKey(0), x_enc,
+                      rgb_condition=rgbc)['params']
+    spec = FusedMLPSpec(
+        in_ch=x_enc.shape[-1], trunk_depth=2, trunk_width=32, rgb_depth=2,
+        rgb_width=16, skips=(1,), rgb_cond_ch=11, alpha_cond_ch=0,
+        tile=8, interpret=True, compute_dtype='float32',
+        enc_segments=((3, 4), (8, 2)))
+    pairs = nerf_mlp_params_to_list(params)
+    pts_flat = pts.reshape(B * S, 11)
+    rgbc_flat = jnp.broadcast_to(rgbc[:, None, :], (B, S, 11)).reshape(-1, 11)
+    ref = mlp.apply({'params': params}, x_enc, rgb_condition=rgbc)
+    got = fused_nerf_mlp(spec, pts_flat, rgbc_flat, None, pairs)
+    np.testing.assert_allclose(np.asarray(got['rgb']).reshape(B, S, 3),
+                               np.asarray(ref['rgb']), rtol=1e-4, atol=1e-5)
+    # Gradient w.r.t. the wide raw input flows.
+    g = jax.grad(lambda p: fused_nerf_mlp(
+        spec, p, rgbc_flat, None, pairs)['rgb'].sum())(pts_flat)
+    assert np.isfinite(np.asarray(g)).all()
+    assert g.shape == (B * S, 11)
