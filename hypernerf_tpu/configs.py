@@ -97,9 +97,10 @@ class NerfConfig:
     # flagship translation+bendy_sheet config; falls back otherwise).
     use_pallas_level: bool = True
     pallas_tile: int = 1024
-    # Backward-recompute kernels keep a whole tile's activations live; they
-    # need smaller tiles than the forward (VMEM scoped limit is 16MB).
-    pallas_bwd_tile: int = 256
+    # Backward tile for the fields backward kernel (the level backward is
+    # split: the template backward runs at tile 512 — its VMEM ceiling —
+    # and the lean fields backward fits 1024 comfortably).
+    pallas_bwd_tile: int = 1024
 
     def __post_init__(self):
         if self.hyper_slice_method not in ('none', 'axis_aligned_plane',

@@ -341,7 +341,7 @@ class NerfModel(nn.Module):
             alpha_cond_ch=(alpha_condition.shape[-1]
                            if alpha_condition is not None else 0),
             tile=cfg.pallas_tile,
-            bwd_tile=min(cfg.pallas_tile, 512),
+            bwd_tile=min(cfg.pallas_tile, 512),  # template bwd VMEM ceiling
             compute_dtype=cfg.compute_dtype,
             enc_segments=segments)
         pairs = nerf_mlp_params_to_list(mlp_mod.variables['params'])
