@@ -130,6 +130,9 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     parser.add_argument('--warp_alpha_steps', type=int, default=80000)
     parser.add_argument('--hyper_alpha_steps', type=int, default=10000)
 
+    parser.add_argument('--no_pallas', action='store_true',
+                        help='disable the fused Pallas kernels (debug; runs '
+                             'the XLA reference paths)')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--val_check_interval', type=float, default=0.25)
@@ -180,6 +183,7 @@ def configs_from_args(args) -> tuple:
         dir_freq=args.view_fourier,
         use_original_embed=not getattr(args, 'use_nerfies_embed', False),
         compute_dtype=compute_dtype,
+        use_pallas=not getattr(args, 'no_pallas', False),
     )
     train_cfg = TrainConfig(
         loss_type=args.loss_type,
