@@ -238,3 +238,15 @@ def test_trainer_blender_dataset(tmp_path):
     assert trainer.nerf_cfg.use_white_background
     metrics = trainer.fit(progress=False)
     assert np.isfinite(metrics['train/loss'])
+
+
+def test_load_weights_missing_path_is_noop():
+    params = {'a': jnp.ones((2, 2))}
+    assert ckpt_lib.load_weights(params, None) is params
+    assert ckpt_lib.load_weights(params, '') is params
+
+
+def test_latest_and_best_checkpoint_empty_dir(tmp_path):
+    assert ckpt_lib.latest_checkpoint(str(tmp_path)) is None
+    assert ckpt_lib.best_checkpoint(str(tmp_path)) is None
+    assert ckpt_lib.latest_checkpoint(str(tmp_path / 'nope')) is None
