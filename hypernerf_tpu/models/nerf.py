@@ -73,7 +73,10 @@ class NerfModel(nn.Module):
                 self.warp_field = SE3Field(
                     trunk_depth=cfg.warp_depth, trunk_width=cfg.warp_width,
                     min_deg=cfg.warp_min_deg, max_deg=cfg.warp_max_deg,
-                    skips=cfg.skips, dtype=dtype, name='warp_field')
+                    skips=cfg.skips, dtype=dtype,
+                    use_pallas=cfg.use_pallas and cfg.use_pallas_fields,
+                    pallas_tile=cfg.pallas_tile,
+                    name='warp_field')
         if cfg.has_hyper_embed and not cfg.hyper_use_warp_embed:
             self.hyper_embed = GLOEmbed(cfg.num_embeddings, cfg.glo_dim,
                                         name='hyper_embed')

@@ -94,7 +94,12 @@ class TranslationField(nn.Module):
 
 
 class SE3Field(nn.Module):
-    """Predicts a per-point rigid transform via the se(3) exponential map."""
+    """Predicts a per-point rigid transform via the se(3) exponential map.
+
+    With ``use_pallas`` on TPU, the posenc + trunk + w/v heads run as one
+    fused kernel (ops/pallas/fused_se3.py); the exponential map and point
+    transform stay in XLA (ops/rigid_body.py).
+    """
     trunk_depth: int = 6
     trunk_width: int = 128
     min_deg: int = 0
@@ -103,6 +108,8 @@ class SE3Field(nn.Module):
     skips: Tuple[int, ...] = (4,)
     use_metadata: bool = True
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+    pallas_tile: int = 1024
 
     def setup(self):
         self.trunk = MLP(out_ch=self.trunk_width,
@@ -119,8 +126,28 @@ class SE3Field(nn.Module):
                          output_init=nn.initializers.uniform(scale=1e-4),
                          dtype=self.dtype, name='v_net')
 
-    def warp(self, points, embed, extra_params=None):
+    def warp(self, points, embed, extra_params=None, allow_pallas=True):
         alpha = None if extra_params is None else extra_params.get('warp_alpha')
+        if (allow_pallas and self.use_pallas and not self.is_initializing()
+                and alpha is None and not self.use_posenc_identity
+                and jax.default_backend() == 'tpu'):
+            from hypernerf_tpu.ops.pallas.fused_se3 import (FusedSE3Spec,
+                                                            fused_se3_wv,
+                                                            se3_params_to_list)
+            spec = FusedSE3Spec(
+                embed_ch=embed.shape[-1], use_metadata=self.use_metadata,
+                min_deg=self.min_deg, max_deg=self.max_deg,
+                depth=self.trunk_depth, width=self.trunk_width,
+                skips=tuple(self.skips), tile=self.pallas_tile,
+                compute_dtype=str(jnp.dtype(self.dtype)))
+            w, v = fused_se3_wv(
+                spec, points.reshape(-1, 3),
+                embed.reshape(-1, embed.shape[-1]),
+                se3_params_to_list(self.variables['params']))
+            transform = rigid_body.exp_se3_from_wv(w, v)
+            warped = rigid_body.transform_points(
+                transform, points.reshape(-1, 3).astype(jnp.float32))
+            return warped.reshape(points.shape)
         points_feat = posenc(points, self.min_deg, self.max_deg,
                              use_identity=self.use_posenc_identity, alpha=alpha)
         if self.use_metadata:
@@ -138,7 +165,10 @@ class SE3Field(nn.Module):
                  return_jacobian: bool = False):
         out = {'warped_points': self.warp(points, embed, extra_params)}
         if return_jacobian:
-            jac_fn = jax.jacrev(self.warp, argnums=0)
+            # Dense path only (no vmapped per-point Pallas).
+            jac_fn = jax.jacrev(
+                lambda p, e, x: self.warp(p, e, x, allow_pallas=False),
+                argnums=0)
             flat_pts = points.reshape(-1, 3)
             flat_embed = embed.reshape(-1, embed.shape[-1])
             jac = jax.vmap(lambda p, e: jac_fn(p, e, extra_params))(
