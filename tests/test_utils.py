@@ -65,3 +65,23 @@ def test_metrics_logger_csv_and_images(tmp_path):
     assert any('train/loss' in l for l in lines)
     img_dir = os.path.join(str(tmp_path), 'exp', 'images')
     assert len(os.listdir(img_dir)) == 2
+
+
+def test_distributed_helpers_noop_without_env(monkeypatch):
+    from hypernerf_tpu.parallel.distributed import (is_primary_host,
+                                                    maybe_initialize_distributed)
+    monkeypatch.delenv('HYPERNERF_COORDINATOR', raising=False)
+    assert maybe_initialize_distributed() is False
+    assert is_primary_host() is True
+
+
+def test_shard_batch_and_replicate():
+    import jax
+    import jax.numpy as jnp
+    from hypernerf_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    mesh = create_mesh()
+    x = jnp.arange(16.0).reshape(16, 1)
+    sharded = shard_batch(mesh, x)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(x))
+    rep = replicate(mesh, {'a': x})
+    np.testing.assert_array_equal(np.asarray(rep['a']), np.asarray(x))
