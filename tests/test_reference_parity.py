@@ -1,0 +1,229 @@
+"""Cross-framework numerical parity tests vs the torch reference.
+
+These tests transplant weights from the PyTorch reference
+(/root/reference/hypernerf) into this repo's flax model and assert that
+deterministic forwards agree, plus unit-level checks of the shared math
+(posenc / compositing / CDF sampling / rigid body). They are THE proof behind
+the 0.1 dB parity claim: a silent numerics divergence in either codebase
+fails here at 1e-4 (measured agreement is ~2e-7, see tools/reference_parity.py
+and docs/VALIDATION.md).
+
+The reference runs on CPU via the patches in tools/reference_parity.py
+(torch is part of this image; .cuda() calls are routed to the CPU).
+"""
+
+import numpy as np
+import pytest
+
+from hypernerf_tpu.configs import NerfConfig
+from tools.reference_parity import (build_torch_model, cat_perms,
+                                    load_reference, make_ray_batch,
+                                    posenc_orig_perm, run_forward_pair)
+
+FWD_TOL = 1e-4
+
+
+def _fast_cfg(**overrides):
+    """Full reference architecture, small sample counts (CPU-friendly)."""
+    base = dict(
+        num_embeddings=5,
+        num_coarse_samples=12, num_fine_samples=12,
+        noise_std=None,
+        compute_dtype='float32',
+        use_pallas=False, use_pallas_fields=False, use_pallas_level=False,
+    )
+    base.update(overrides)
+    return NerfConfig(**base)
+
+
+# ---------------------------------------------------------------- forwards
+
+@pytest.mark.parametrize('name,cfg', [
+    ('static', _fast_cfg(use_warp=False, hyper_slice_method='none')),
+    ('bendy_sheet', _fast_cfg(use_warp=True,
+                              hyper_slice_method='bendy_sheet')),
+    ('axis_aligned_plane', _fast_cfg(use_warp=True,
+                                     hyper_slice_method='axis_aligned_plane',
+                                     glo_dim=4, hyper_slice_out_dim=4)),
+])
+def test_forward_parity(name, cfg):
+    devs = run_forward_pair(cfg, n_rays=8, seed=0)
+    assert devs, f'no outputs compared for {name}'
+    for key, dev in devs.items():
+        assert dev <= FWD_TOL, f'{name} {key}: max|Δ| = {dev:.3e} > {FWD_TOL}'
+
+
+def test_forward_parity_nerf_embed_conditions():
+    """use_nerf_embed with both condition branches (models.py:421-434)."""
+    cfg = _fast_cfg(use_warp=True, hyper_slice_method='bendy_sheet',
+                    use_nerf_embed=True, use_alpha_condition=True,
+                    use_rgb_condition=True)
+    devs = run_forward_pair(cfg, n_rays=8, seed=1)
+    for key, dev in devs.items():
+        assert dev <= FWD_TOL, f'{key}: max|Δ| = {dev:.3e}'
+
+
+# ---------------------------------------------------------------- op-level
+
+def test_posenc_orig_matches_reference():
+    """Block-layout posenc is the reference's interleaved one, permuted
+    (model_utils.py:234-246)."""
+    import jax.numpy as jnp
+
+    from hypernerf_tpu.ops.posenc import posenc_orig
+
+    ref = load_reference()
+    torch = ref.torch
+    x = np.random.RandomState(0).uniform(-2, 2, (7, 3)).astype(np.float32)
+    for n_freqs in (1, 6, 10):
+        theirs = ref.model_utils.posenc_orig(
+            torch.from_numpy(x), n_freqs).numpy()
+        mine = np.asarray(posenc_orig(jnp.asarray(x), n_freqs))
+        perm = posenc_orig_perm(3, n_freqs)
+        np.testing.assert_allclose(mine, theirs[:, perm], atol=1e-6)
+
+
+@pytest.mark.parametrize('sample_at_infinity', [True, False])
+@pytest.mark.parametrize('white', [True, False])
+def test_volumetric_rendering_matches_reference(sample_at_infinity, white):
+    import jax.numpy as jnp
+
+    from hypernerf_tpu.ops.rendering import volumetric_rendering
+
+    ref = load_reference()
+    torch = ref.torch
+    rng = np.random.RandomState(1)
+    B, S = 6, 9
+    rgb = rng.uniform(0, 1, (B, S, 3)).astype(np.float32)
+    sigma = rng.uniform(0, 30, (B, S)).astype(np.float32)
+    z = np.sort(rng.uniform(0.1, 1.0, (B, S)).astype(np.float32), axis=-1)
+    dirs = rng.normal(size=(B, 3)).astype(np.float32)
+
+    theirs = ref.model_utils.volumetric_rendering(
+        torch.from_numpy(rgb), torch.from_numpy(sigma), torch.from_numpy(z),
+        torch.from_numpy(dirs), use_white_background=white,
+        sample_at_infinity=sample_at_infinity)
+    mine = volumetric_rendering(
+        jnp.asarray(rgb), jnp.asarray(sigma), jnp.asarray(z),
+        jnp.asarray(dirs), use_white_background=white,
+        sample_at_infinity=sample_at_infinity)
+    for k in ('rgb', 'depth', 'med_depth', 'acc', 'weights'):
+        np.testing.assert_allclose(np.asarray(mine[k]), theirs[k].numpy(),
+                                   atol=1e-6, err_msg=k)
+
+
+def test_sample_pdf_matches_reference():
+    """Deterministic (linspace-u) inverse-CDF + merge sort
+    (model_utils.py:160-232)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hypernerf_tpu.ops.sampling import sample_pdf
+
+    ref = load_reference()
+    torch = ref.torch
+    rng = np.random.RandomState(2)
+    B, S, N = 5, 8, 11
+    z_vals = np.sort(rng.uniform(0, 1, (B, S)).astype(np.float32), axis=-1)
+    bins = 0.5 * (z_vals[:, 1:] + z_vals[:, :-1])
+    weights = rng.uniform(0, 1, (B, S - 2)).astype(np.float32)
+    origins = rng.normal(size=(B, 3)).astype(np.float32)
+    directions = rng.normal(size=(B, 3)).astype(np.float32)
+
+    tz, tp = ref.model_utils.sample_pdf(
+        torch.from_numpy(bins), torch.from_numpy(weights),
+        torch.from_numpy(origins), torch.from_numpy(directions),
+        torch.from_numpy(z_vals), N, use_stratified_sampling=False)
+    mz, mp = sample_pdf(
+        jax.random.PRNGKey(0), jnp.asarray(bins), jnp.asarray(weights),
+        jnp.asarray(origins), jnp.asarray(directions), jnp.asarray(z_vals),
+        N, use_stratified_sampling=False)
+    np.testing.assert_allclose(np.asarray(mz), tz.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mp), tp.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize('linear_disparity', [False, True])
+def test_sample_along_rays_matches_reference(linear_disparity):
+    import jax
+    import jax.numpy as jnp
+
+    from hypernerf_tpu.ops.sampling import sample_along_rays
+
+    ref = load_reference()
+    torch = ref.torch
+    rng = np.random.RandomState(3)
+    B, S = 4, 7
+    origins = rng.normal(size=(B, 3)).astype(np.float32)
+    directions = rng.normal(size=(B, 3)).astype(np.float32)
+    near, far = 0.2, 4.0
+
+    tz, tp = ref.model_utils.sample_along_rays(
+        torch.from_numpy(origins), torch.from_numpy(directions), S, near,
+        far, use_stratified_sampling=False,
+        use_linear_disparity=linear_disparity)
+    mz, mp = sample_along_rays(
+        jax.random.PRNGKey(0), jnp.asarray(origins), jnp.asarray(directions),
+        S, near, far, use_stratified_sampling=False,
+        use_linear_disparity=linear_disparity)
+    np.testing.assert_allclose(np.asarray(mz), tz.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mp), tp.numpy(), atol=1e-6)
+
+
+def test_exp_se3_matches_reference():
+    """Batched exp_se3 vs the reference's single-axis version
+    (rigid_body.py:59-83; the reference's skew is unbatched, so compare one
+    screw axis at a time)."""
+    import jax.numpy as jnp
+
+    from hypernerf_tpu.ops import rigid_body
+
+    ref = load_reference()
+    torch = ref.torch
+    rng = np.random.RandomState(4)
+    for _ in range(4):
+        w = rng.normal(size=(3,)).astype(np.float32)
+        w /= np.linalg.norm(w)
+        v = rng.normal(size=(3,)).astype(np.float32)
+        theta = np.float32(rng.uniform(0.05, 2.0))
+        screw = np.concatenate([w, v])[None, None]  # (1,1,6)
+        theirs = ref.rigid_body.exp_se3(
+            torch.from_numpy(screw), torch.tensor(theta)).numpy()
+        mine = np.asarray(rigid_body.exp_se3(
+            jnp.asarray(screw[0]), jnp.asarray([theta])))
+        np.testing.assert_allclose(mine[0], np.squeeze(theirs), atol=1e-5)
+
+
+def test_transplant_rejects_topology_drift():
+    """The transplant asserts tree-shape equality with a fresh init, so a
+    silent architecture change on either side fails loudly."""
+    cfg = _fast_cfg(use_warp=True, hyper_slice_method='bendy_sheet')
+    tm = build_torch_model(cfg, deterministic=True)
+    from tools.reference_parity import torch_to_flax_params
+    params = torch_to_flax_params(tm, cfg)
+    # Sanity: the expected submodules are present.
+    assert set(params) == {'warp_embed', 'warp_field', 'hyper_sheet_mlp',
+                           'nerf_coarse', 'nerf_fine'}
+    # The structural gate inside run_forward_pair compares the transplanted
+    # tree against a fresh init of the (wrong) config and must differ.
+    import jax
+
+    from hypernerf_tpu.models.nerf import NerfModel
+    wrong_cfg = _fast_cfg(use_warp=True, hyper_slice_method='bendy_sheet',
+                          trunk_depth=4)
+    origins, directions, ids = make_ray_batch(4, wrong_cfg.num_embeddings, 0)
+    import jax.numpy as jnp
+    rd = {'origins': jnp.asarray(origins),
+          'directions': jnp.asarray(directions), 'viewdirs': None,
+          'metadata': {k: jnp.asarray(ids.astype(np.int32))
+                       for k in ('warp', 'camera', 'appearance', 'time')}}
+    wrong_init = NerfModel(wrong_cfg).init(
+        {'params': jax.random.PRNGKey(0)}, rd, deterministic=True)['params']
+    wrong_shapes = jax.tree_util.tree_map(lambda x: tuple(x.shape),
+                                          wrong_init)
+    got_shapes = jax.tree_util.tree_map(lambda x: tuple(x.shape), params)
+    assert wrong_shapes != got_shapes
+
+
+def test_cat_perms_composition():
+    p = cat_perms([np.array([1, 0]), 3, np.array([0, 2, 1])])
+    np.testing.assert_array_equal(p, [1, 0, 2, 3, 4, 5, 7, 6])
