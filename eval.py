@@ -22,26 +22,41 @@ def main():
 
     import numpy as np
 
-    from hypernerf_tpu.configs import NerfConfig
+    from hypernerf_tpu.configs import NerfConfig, TrainConfig
     from hypernerf_tpu.datasets import dataset_dict
     from hypernerf_tpu.datasets.depth_io import save_pfm
     from hypernerf_tpu.models.nerf import NerfModel
+    from hypernerf_tpu.parallel.mesh import create_mesh
     from hypernerf_tpu.training import checkpoints as ckpt_lib
     from hypernerf_tpu.training import metrics
     from hypernerf_tpu.training.renderer import ImageRenderer
+    from hypernerf_tpu.training.train_state import compute_extra_params
     from hypernerf_tpu.utils.visualization import to_uint8
 
     w, h = args.img_wh
 
-    # Resolve the model config: prefer the JSON serialized at train time.
-    nerf_cfg, _ = configs_from_args(args)
+    # Resolve the configs: prefer the JSONs serialized at train time.
+    nerf_cfg, train_cfg = configs_from_args(args)
     ckpt_path = args.ckpt_path or args.weight_path
     if ckpt_path:
-        cfg_json = os.path.join(os.path.dirname(os.path.abspath(ckpt_path)),
-                                'nerf_config.json')
+        ckpt_dir = os.path.dirname(os.path.abspath(ckpt_path))
+        cfg_json = os.path.join(ckpt_dir, 'nerf_config.json')
         if os.path.exists(cfg_json):
             with open(cfg_json) as f:
                 nerf_cfg = NerfConfig.from_json(f.read())
+        tc_json = os.path.join(ckpt_dir, 'train_config.json')
+        if os.path.exists(tc_json):
+            with open(tc_json) as f:
+                train_cfg = TrainConfig.from_json(f.read())
+
+    # Annealing alphas at the checkpoint's step, so an anneal-trained model
+    # is rendered through the same windowed encoding it was trained with.
+    # Weights-only checkpoints carry no step: assume fully annealed.
+    ckpt_step = ckpt_lib.checkpoint_step(ckpt_path) if ckpt_path else None
+    if ckpt_step is None:
+        ckpt_step = max(train_cfg.warp_alpha_steps,
+                        train_cfg.hyper_alpha_steps)
+    extra_params = compute_extra_params(nerf_cfg, train_cfg, ckpt_step)
 
     kwargs = dict(root_dir=args.root_dir, split=args.split,
                   img_wh=tuple(args.img_wh),
@@ -60,7 +75,8 @@ def main():
                            prepare_ray_dict(jax.numpy.asarray(sample_rays)))
     params = ckpt_lib.load_weights(variables['params'], ckpt_path)
 
-    renderer = ImageRenderer(model, chunk=args.chunk)
+    # Shard full-frame renders over all available chips.
+    renderer = ImageRenderer(model, chunk=args.chunk, mesh=create_mesh())
 
     dir_name = f'results/{args.dataset_name}/{args.scene_name}'
     os.makedirs(dir_name, exist_ok=True)
@@ -70,7 +86,7 @@ def main():
     typ = 'fine' if nerf_cfg.num_fine_samples > 0 else 'coarse'
     for i in range(len(dataset)):
         sample = dataset[i]
-        out = renderer(params, sample['rays'])
+        out = renderer(params, sample['rays'], extra_params)
         img_pred = np.asarray(out[typ]['rgb']).reshape(h, w, 3)
 
         if args.save_depth:

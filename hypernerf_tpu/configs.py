@@ -183,6 +183,9 @@ class TrainConfig:
 
     seed: int = 0
     ckpt_every_steps: Optional[int] = None  # default: every epoch
+    # Retention: keep the best k checkpoints by val/psnr plus the latest
+    # (None = keep everything, the reference's save_top_k=-1 default).
+    ckpt_keep_top_k: Optional[int] = None
     val_check_interval: float = 0.25
     num_sanity_val_steps: int = 1
     log_every: int = 100

@@ -130,6 +130,10 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     parser.add_argument('--warp_alpha_steps', type=int, default=80000)
     parser.add_argument('--hyper_alpha_steps', type=int, default=10000)
 
+    parser.add_argument('--ckpt_keep_top_k', type=int, default=None,
+                        help='keep only the best K checkpoints by val/psnr '
+                             '(plus the latest); default keeps everything '
+                             'like the reference save_top_k=-1')
     parser.add_argument('--no_pallas', action='store_true',
                         help='disable the fused Pallas kernels (debug; runs '
                              'the XLA reference paths)')
@@ -212,6 +216,7 @@ def configs_from_args(args) -> tuple:
         ckpt_path=args.ckpt_path,
         weight_path=args.weight_path,
         prefixes_to_ignore=tuple(args.prefixes_to_ignore),
+        ckpt_keep_top_k=getattr(args, 'ckpt_keep_top_k', None),
         seed=getattr(args, 'seed', 0),
         log_every=getattr(args, 'log_every', 100),
         val_check_interval=getattr(args, 'val_check_interval', 0.25),

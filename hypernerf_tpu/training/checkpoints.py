@@ -102,12 +102,62 @@ def best_checkpoint(ckpt_dir: str, monitor: str = 'val/psnr',
     return os.path.join(ckpt_dir, f'step_{best}')
 
 
+def prune_checkpoints(ckpt_dir: str, keep_top_k: int,
+                      monitor: str = 'val/psnr', mode: str = 'max'):
+    """Retention policy: keep the top-k checkpoints by the monitored metric
+    plus (always) the latest, delete the rest.
+
+    The reference keeps everything (save_top_k=-1, train.py:203); this is the
+    opt-in top-k mode of PL's ModelCheckpoint. Checkpoints missing the metric
+    (e.g. saved before any validation) rank last. The manifest keeps all
+    rows so history survives pruning.
+    """
+    import shutil
+    manifest_path = os.path.join(ckpt_dir, 'manifest.json')
+    if not os.path.isdir(ckpt_dir) or keep_top_k is None or keep_top_k < 1:
+        return
+    manifest = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith('step_') and name[5:].isdigit():
+            steps.append(int(name[5:]))
+    if len(steps) <= keep_top_k:
+        return
+    latest = max(steps)
+    sign = 1.0 if mode == 'max' else -1.0
+
+    def score(step):
+        val = manifest.get(str(step), {}).get(monitor)
+        return sign * float(val) if val is not None else -float('inf')
+
+    ranked = sorted(steps, key=score, reverse=True)
+    keep = set(ranked[:keep_top_k]) | {latest}
+    for step in steps:
+        if step not in keep:
+            shutil.rmtree(os.path.join(ckpt_dir, f'step_{step}'),
+                          ignore_errors=True)
+
+
+def checkpoint_step(ckpt_path: str) -> Optional[int]:
+    """The global step a checkpoint was saved at (None for weights-only)."""
+    try:
+        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt_path))
+    except Exception:
+        return None
+    step = raw.get('step') if isinstance(raw, dict) else None
+    return int(step) if step is not None else None
+
+
 def restore_checkpoint(path: str, state=None):
     """Restore a checkpoint.
 
     With ``state`` given, the restored payload is coerced to its structure
     (full-state resume); otherwise the raw tree is returned.
     """
+    path = os.path.abspath(path)
     checkpointer = ocp.PyTreeCheckpointer()
     if state is None:
         return checkpointer.restore(path)
@@ -127,7 +177,7 @@ def extract_model_params(ckpt_path: str, model_name: str = MODEL_KEY,
                          prefixes_to_ignore: Sequence[str] = ()) -> dict:
     """Load just the model sub-tree from a checkpoint, dropping ignored
     prefixes (utils/__init__.py:66-81 parity: 'nerf.' strip + filter)."""
-    raw = ocp.PyTreeCheckpointer().restore(ckpt_path)
+    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt_path))
     tree = raw.get(model_name, raw)
     flat = _flatten(tree)
     kept = {k: v for k, v in flat.items()
@@ -163,6 +213,7 @@ def load_weights(params, ckpt_path: Optional[str],
 def save_weights_only(ckpt_path: str, out_path: str):
     """Strip a full checkpoint down to bare model weights
     (utils/save_weights_only.py parity)."""
-    params = ocp.PyTreeCheckpointer().restore(ckpt_path).get(MODEL_KEY)
+    params = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(ckpt_path)).get(MODEL_KEY)
     ocp.PyTreeCheckpointer().save(os.path.abspath(out_path),
                                   {MODEL_KEY: params}, force=True)

@@ -5,37 +5,51 @@ The reference renders images with a host-side Python loop over chunks
 chunk. Here the whole image's rays go to the device once and a ``lax.map``
 over fixed-size tiles runs *inside* one jit-compiled call — one compilation
 per image geometry, zero host round-trips.
+
+With a multi-device ``mesh``, the tile loop is ``shard_map``-ed over the
+``('data',)`` axis: each chip renders its contiguous slice of rays and the
+results are gathered — the TPU equivalent of the reference's per-rank val
+replication (train.py:85), except the ranks split one image instead of
+duplicating it.
+
+``extra_params`` (posenc annealing alphas) are threaded through to the model
+so validation/eval render the SAME function being trained mid-anneal (the
+reference passes all-None alphas, train.py:102-107).
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from hypernerf_tpu.models.nerf import NerfModel
 from hypernerf_tpu.ops.ray_dict import prepare_ray_dict
+from hypernerf_tpu.parallel.mesh import DATA_AXIS
 
 # Per-ray outputs kept from each tile (weights/points dropped to bound HBM).
 _KEEP = ('rgb', 'depth', 'med_depth', 'acc')
 
 
-def make_render_fn(model: NerfModel, chunk: int = 8192):
-    """Build a jitted tiled renderer: (params, rays (N, 8|9)) -> dict.
+def make_render_fn(model: NerfModel, chunk: int = 8192, mesh=None):
+    """Build a jitted tiled renderer.
 
-    N must be padded to a multiple of ``chunk`` by the caller (or use
+    Returns render(params, rays (N, 8|9), extra_params) -> dict. N must be
+    padded to a multiple of ``chunk * n_devices`` by the caller (or use
     ``render_rays``). One compilation per distinct (N, chunk).
     """
 
-    @jax.jit
-    def render(params, rays):
+    def render_slice(params, rays, extra_params):
         n, c = rays.shape
         tiles = rays.reshape(n // chunk, chunk, c)
 
         def render_tile(tile):
             out = model.apply({'params': params}, prepare_ray_dict(tile),
+                              extra_params=extra_params,
                               deterministic=True, return_weights=False)
             return {level: {k: v for k, v in res.items() if k in _KEEP}
                     for level, res in out.items()}
@@ -43,17 +57,29 @@ def make_render_fn(model: NerfModel, chunk: int = 8192):
         out = jax.lax.map(render_tile, tiles)
         return jax.tree.map(lambda x: x.reshape(n, *x.shape[2:]), out)
 
+    if mesh is not None and mesh.devices.size > 1:
+        render_slice = shard_map(
+            render_slice, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False)
+
+    @jax.jit
+    def render(params, rays, extra_params):
+        return render_slice(params, rays, extra_params)
+
     return render
 
 
-def render_rays(render_fn, params, rays: np.ndarray, chunk: int
+def render_rays(render_fn, params, rays: np.ndarray, pad_to: int,
+                extra_params: Optional[dict] = None
                 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Render an arbitrary ray array, handling padding, returning numpy."""
     n = rays.shape[0]
-    pad = (-n) % chunk
+    pad = (-n) % pad_to
     if pad:
         rays = np.concatenate([rays, np.repeat(rays[-1:], pad, axis=0)], 0)
-    out = render_fn(params, jnp.asarray(rays))
+    out = render_fn(params, jnp.asarray(rays), extra_params or {})
     out = jax.device_get(out)
     if pad:
         out = jax.tree.map(lambda x: x[:n], out)
@@ -61,12 +87,20 @@ def render_rays(render_fn, params, rays: np.ndarray, chunk: int
 
 
 class ImageRenderer:
-    """Convenience wrapper caching the jitted render fn per chunk size."""
+    """Convenience wrapper caching the jitted render fn.
 
-    def __init__(self, model: NerfModel, chunk: int = 8192):
+    With a mesh, tiles are sharded over its data axis (pass the training
+    mesh); without one, rendering is single-device.
+    """
+
+    def __init__(self, model: NerfModel, chunk: int = 8192, mesh=None):
         self.model = model
         self.chunk = chunk
-        self._render_fn = make_render_fn(model, chunk)
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size if mesh is not None else 1
+        self._render_fn = make_render_fn(model, chunk, mesh)
 
-    def __call__(self, params, rays: np.ndarray):
-        return render_rays(self._render_fn, params, rays, self.chunk)
+    def __call__(self, params, rays: np.ndarray,
+                 extra_params: Optional[dict] = None):
+        return render_rays(self._render_fn, params, rays,
+                           self.chunk * self.n_shards, extra_params)

@@ -30,9 +30,11 @@ from hypernerf_tpu.datasets import dataset_dict
 from hypernerf_tpu.models.nerf import NerfModel
 from hypernerf_tpu.parallel.mesh import create_mesh, replicate
 from hypernerf_tpu.training import checkpoints as ckpt_lib
-from hypernerf_tpu.training.optimizers import get_optimizer
+from hypernerf_tpu.training.losses import loss_dict
+from hypernerf_tpu.training.optimizers import get_optimizer, get_scheduler
 from hypernerf_tpu.training.renderer import ImageRenderer
-from hypernerf_tpu.training.train_state import (create_train_state,
+from hypernerf_tpu.training.train_state import (compute_extra_params,
+                                                create_train_state,
                                                 forward_params,
                                                 make_train_step)
 from hypernerf_tpu.utils.logging import MetricsLogger
@@ -68,6 +70,17 @@ class Trainer:
                 and not nerf_cfg.use_white_background:
             self.nerf_cfg = nerf_cfg = dataclasses.replace(
                 nerf_cfg, use_white_background=True)
+
+        # Host-side metadata-id validation: XLA gathers clamp out-of-range
+        # ids silently (torch would raise), so a mis-indexed dataset would
+        # otherwise train wrong without a trace (models/modules.py:98-102).
+        rays_np = np.asarray(self.train_dataset.all_rays)
+        if rays_np.shape[-1] >= 9:
+            max_id = int(rays_np[:, 8].max())
+            if max_id >= nerf_cfg.num_embeddings:
+                raise ValueError(
+                    f'Dataset metadata id {max_id} is out of range for '
+                    f'num_embeddings={nerf_cfg.num_embeddings}.')
 
         self.model = NerfModel(nerf_cfg)
 
@@ -105,20 +118,35 @@ class Trainer:
 
         self.train_step = make_train_step(self.model, self.tx, nerf_cfg,
                                           train_cfg, self.mesh)
-        self.renderer = ImageRenderer(self.model, chunk=train_cfg.chunk)
+        # Val/eval renders shard over the same mesh as training (the
+        # reference replicates the val image per rank instead, train.py:85).
+        self.renderer = ImageRenderer(self.model, chunk=train_cfg.chunk,
+                                      mesh=self.mesh)
+        # The schedule value, logged like the reference's per-step 'lr'
+        # scalar (train.py:159).
+        self.lr_schedule = get_scheduler(train_cfg, self.steps_per_epoch,
+                                         self.total_steps)
 
     # ------------------------------------------------------------------ val
 
     def validate(self, step: int, log_images: bool = True) -> Dict[str, float]:
         sample = self.val_dataset[0]
         params = forward_params(self.state.params)
-        out = self.renderer(params, sample['rays'])
+        # Render with the SAME annealing alphas the train step uses at this
+        # step — otherwise a mid-anneal model is validated with all bands on
+        # (a different function than the one being trained).
+        extra_params = compute_extra_params(self.nerf_cfg, self.train_cfg,
+                                            step)
+        out = self.renderer(params, sample['rays'], extra_params)
         typ = 'fine' if 'fine' in out else 'coarse'
         pred = out[typ]['rgb']
         rgbs = sample['rgbs']
+        # val/loss is the full coarse+fine training loss on the val image
+        # (reference train.py:171 / losses.py:9-14); val/psnr is final-level.
+        val_loss = float(loss_dict[self.train_cfg.loss_type](out, rgbs))
         val_mse = float(np.mean((pred - rgbs) ** 2))
         val_psnr = -10.0 * np.log10(val_mse)
-        metrics = {'val/loss': val_mse, 'val/psnr': val_psnr}
+        metrics = {'val/loss': val_loss, 'val/psnr': val_psnr}
         if self.logger is not None:
             for k, v in metrics.items():
                 self.logger.add_scalar(k, v, step)
@@ -165,13 +193,17 @@ class Trainer:
                 metrics = jax.device_get(metrics)
                 elapsed = time.time() - t0
                 rays_per_sec = rays_done / max(elapsed, 1e-9)
-                last_metrics = {
+                train_metrics = {
                     'train/loss': float(metrics['loss']),
                     'train/psnr': float(metrics['psnr']),
                     'train/rays_per_sec': rays_per_sec,
+                    'lr': float(self.lr_schedule(step)),
                 }
+                # update (not reassign): keep the latest val/ metrics so the
+                # checkpoint manifest always carries the last val/psnr.
+                last_metrics.update(train_metrics)
                 if self.logger is not None:
-                    for k, v in last_metrics.items():
+                    for k, v in train_metrics.items():
                         self.logger.add_scalar(k, v, step + 1)
                 if progress:
                     print(f'step {step + 1}/{self.total_steps} '
@@ -195,4 +227,7 @@ class Trainer:
                     nerf_config=self.nerf_cfg, train_config=cfg,
                     metrics={k: v for k, v in last_metrics.items()
                              if k.startswith('val/')})
+                if cfg.ckpt_keep_top_k:
+                    ckpt_lib.prune_checkpoints(self.ckpt_dir,
+                                               cfg.ckpt_keep_top_k)
         return last_metrics
