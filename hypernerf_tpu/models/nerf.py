@@ -196,13 +196,14 @@ class NerfModel(nn.Module):
         # Fully fused path: raw warped points go straight into the Pallas
         # template kernel, which computes the positional encoding in VMEM
         # (ops/pallas/fused_mlp.py enc_segments) — no encoded feature tensor
-        # ever reaches HBM.
-        if (cfg.use_pallas and cfg.use_original_embed
-                and not self.is_initializing()
+        # ever reaches HBM. The Nerfies windowed encoding runs in-kernel too
+        # (per-band scale row from the annealing alphas), so the anneal mode
+        # stays on the fast path.
+        if (cfg.use_pallas and not self.is_initializing()
                 and rgb_condition is not None
                 and jax.default_backend() == 'tpu'):
             raw = self._query_template_fused(
-                level, points, alpha_condition, rgb_condition)
+                level, points, alpha_condition, rgb_condition, extra_params)
             raw_alpha = raw['alpha'].astype(jnp.float32)
             noise_key = None
             if (stratified and cfg.noise_std is not None
@@ -250,9 +251,11 @@ class NerfModel(nn.Module):
         return rgb, sigma
 
     def _render_level_fused(self, level, points, warp_embed_per_ray,
-                            alpha_condition, rgb_condition, stratified):
+                            alpha_condition, rgb_condition, stratified,
+                            extra_params):
         """One-kernel warp+hyper+template evaluation (TPU Pallas path)."""
-        from hypernerf_tpu.ops.pallas.fused_field import mlp_params_to_list
+        from hypernerf_tpu.ops.pallas.fused_field import (encoding_scales,
+                                                          mlp_params_to_list)
         from hypernerf_tpu.ops.pallas.fused_level import (FusedLevelSpec,
                                                           fused_level)
         from hypernerf_tpu.ops.pallas.fused_mlp import nerf_mlp_params_to_list
@@ -267,13 +270,23 @@ class NerfModel(nn.Module):
 
         spec = FusedLevelSpec(
             embed_ch=cfg.glo_dim,
+            warp_type=cfg.warp_field_type,
             warp_depth=cfg.warp_depth, warp_width=cfg.warp_width,
             warp_freq=cfg.warp_freq,
+            se3_min_deg=cfg.warp_min_deg, se3_max_deg=cfg.warp_max_deg,
+            # Always thread the warp window for SE(3) so warp_alpha is
+            # honored whenever the caller sets it (ones = fully on).
+            warp_windowed=cfg.warp_field_type == 'se3',
             hyper_depth=cfg.hyper_sheet_depth,
             hyper_width=cfg.hyper_sheet_width,
             hyper_sheet_freq=cfg.hyper_sheet_freq,
             hyper_out=cfg.hyper_slice_out_dim,
+            use_original_embed=cfg.use_original_embed,
             xyz_freq=cfg.xyz_freq, hyper_freq=cfg.hyper_freq,
+            spatial_min_deg=cfg.spatial_point_min_deg,
+            spatial_max_deg=cfg.spatial_point_max_deg,
+            hyper_min_deg=cfg.hyper_point_min_deg,
+            hyper_max_deg=cfg.hyper_point_max_deg,
             trunk_depth=cfg.trunk_depth, trunk_width=cfg.trunk_width,
             rgb_depth=cfg.rgb_branch_depth, rgb_width=cfg.rgb_branch_width,
             rgb_channels=cfg.rgb_channels,
@@ -285,6 +298,22 @@ class NerfModel(nn.Module):
             tile=cfg.pallas_tile,
             bwd_tile=min(cfg.pallas_tile, cfg.pallas_bwd_tile),
             compute_dtype=cfg.compute_dtype)
+        tmpl_scales = None
+        if not cfg.use_original_embed:
+            alphas = [extra_params.get('nerf_alpha'),
+                      extra_params.get('hyper_alpha')]
+            tmpl_scales = encoding_scales(spec.tmpl_enc_segments, alphas)
+        if cfg.warp_field_type == 'se3':
+            from hypernerf_tpu.ops.pallas.fused_se3 import se3_params_to_list
+            warp_pairs = se3_params_to_list(
+                self.warp_field.variables['params'])
+            warp_scales = encoding_scales(
+                spec.warp_fs.enc_segments,
+                [extra_params.get('warp_alpha'), None])
+        else:
+            warp_pairs = mlp_params_to_list(
+                self.warp_field.variables['params']['mlp'])
+            warp_scales = None
         out = fused_level(
             spec,
             points.reshape(-1, 3),
@@ -292,10 +321,12 @@ class NerfModel(nn.Module):
             flat_cond(rgb_condition),
             flat_cond(alpha_condition) if alpha_condition is not None
             else None,
-            mlp_params_to_list(self.warp_field.variables['params']['mlp']),
+            warp_pairs,
             mlp_params_to_list(
                 self.hyper_sheet_mlp.variables['params']['mlp']),
-            nerf_mlp_params_to_list(mlp_mod.variables['params']))
+            nerf_mlp_params_to_list(mlp_mod.variables['params']),
+            tmpl_enc_scales=tmpl_scales,
+            warp_enc_scales=warp_scales)
 
         raw_alpha = out['alpha'].reshape(*batch_shape,
                                          cfg.alpha_channels)
@@ -309,23 +340,49 @@ class NerfModel(nn.Module):
         sigma = nn.softplus(jnp.squeeze(raw_alpha, axis=-1))
         return rgb, sigma
 
+    def _template_segments(self, hyper_ch: int):
+        """Template encoding segments for the fused kernels (orig or
+        Nerfies), mirroring query_template's XLA encoding."""
+        cfg = self.config
+        if cfg.use_original_embed:
+            segments = ((3, cfg.xyz_freq),)
+            if hyper_ch:
+                segments += ((hyper_ch, cfg.hyper_freq),)
+        else:
+            segments = ((3, cfg.spatial_point_max_deg
+                         - cfg.spatial_point_min_deg,
+                         cfg.spatial_point_min_deg, True),)
+            if hyper_ch:
+                segments += ((hyper_ch, cfg.hyper_point_max_deg
+                              - cfg.hyper_point_min_deg,
+                              cfg.hyper_point_min_deg, False),)
+        return segments
+
+    def _template_enc_scales(self, segments, extra_params):
+        """(1, in_pad) window row for the Nerfies mode (None for orig)."""
+        cfg = self.config
+        if cfg.use_original_embed:
+            return None
+        from hypernerf_tpu.ops.pallas.fused_field import encoding_scales
+        alphas = [extra_params.get('nerf_alpha'),
+                  extra_params.get('hyper_alpha')][:len(segments)]
+        return encoding_scales(segments, alphas)
+
     def _query_template_fused(self, level, points, alpha_condition,
-                              rgb_condition):
+                              rgb_condition, extra_params):
         """Raw-points fused template evaluation (TPU Pallas path)."""
+        from hypernerf_tpu.ops.pallas.fused_field import seg_enc_ch
         from hypernerf_tpu.ops.pallas.fused_mlp import (FusedMLPSpec,
                                                         fused_nerf_mlp,
                                                         nerf_mlp_params_to_list)
-        from hypernerf_tpu.ops.posenc import posenc_orig_channels
         cfg = self.config
         mlp_mod = (self.nerf_mlp_fine if level == 'fine'
                    else self.nerf_mlp_coarse)
         batch_shape = points.shape[:-1]
         hyper_ch = points.shape[-1] - 3
-        segments = ((3, cfg.xyz_freq),)
-        in_ch = posenc_orig_channels(3, cfg.xyz_freq)
-        if hyper_ch:
-            segments += ((hyper_ch, cfg.hyper_freq),)
-            in_ch += posenc_orig_channels(hyper_ch, cfg.hyper_freq)
+        segments = self._template_segments(hyper_ch)
+        in_ch = sum(seg_enc_ch(seg) for seg in segments)
+        enc_scales = self._template_enc_scales(segments, extra_params)
 
         def flat_cond(c):
             c = jnp.broadcast_to(c[..., None, :], (*batch_shape, c.shape[-1]))
@@ -333,6 +390,7 @@ class NerfModel(nn.Module):
 
         spec = FusedMLPSpec(
             in_ch=in_ch,
+            windowed=not cfg.use_original_embed,
             trunk_depth=cfg.trunk_depth,
             trunk_width=cfg.trunk_width,
             rgb_depth=cfg.rgb_branch_depth,
@@ -353,7 +411,7 @@ class NerfModel(nn.Module):
             flat_cond(rgb_condition),
             flat_cond(alpha_condition) if alpha_condition is not None
             else None,
-            pairs)
+            pairs, enc_scales=enc_scales)
         return {'rgb': out['rgb'].reshape(*batch_shape, cfg.rgb_channels),
                 'alpha': out['alpha'].reshape(*batch_shape,
                                               cfg.alpha_channels)}
@@ -449,9 +507,7 @@ class NerfModel(nn.Module):
         # Fully fused fast path: warp + hyper sheet + template in one Pallas
         # kernel per level (ops/pallas/fused_level.py).
         if (cfg.use_pallas and cfg.use_pallas_level and use_warp
-                and cfg.warp_field_type == 'translation'
                 and cfg.hyper_slice_method == 'bendy_sheet'
-                and cfg.use_original_embed
                 and cfg.hyper_use_warp_embed
                 and warp_embed is not None
                 and not return_warp_jacobian and not return_points
@@ -463,7 +519,7 @@ class NerfModel(nn.Module):
             if rgb_condition is not None:
                 rgb, sigma = self._render_level_fused(
                     level, points, warp_embed, alpha_condition,
-                    rgb_condition, stratified)
+                    rgb_condition, stratified, extra_params)
                 sigma = filter_sigma(points, sigma, render_opts)
                 out.update(volumetric_rendering(
                     rgb, sigma, z_vals, directions,

@@ -129,8 +129,9 @@ class SE3Field(nn.Module):
     def warp(self, points, embed, extra_params=None, allow_pallas=True):
         alpha = None if extra_params is None else extra_params.get('warp_alpha')
         if (allow_pallas and self.use_pallas and not self.is_initializing()
-                and alpha is None and not self.use_posenc_identity
+                and not self.use_posenc_identity
                 and jax.default_backend() == 'tpu'):
+            from hypernerf_tpu.ops.pallas.fused_field import encoding_scales
             from hypernerf_tpu.ops.pallas.fused_se3 import (FusedSE3Spec,
                                                             fused_se3_wv,
                                                             se3_params_to_list)
@@ -139,11 +140,19 @@ class SE3Field(nn.Module):
                 min_deg=self.min_deg, max_deg=self.max_deg,
                 depth=self.trunk_depth, width=self.trunk_width,
                 skips=tuple(self.skips), tile=self.pallas_tile,
-                compute_dtype=str(jnp.dtype(self.dtype)))
+                compute_dtype=str(jnp.dtype(self.dtype)),
+                windowed=alpha is not None)
+            # The warp_alpha annealing window runs in-kernel as a per-band
+            # scale row, so the annealed SE(3) stays on the fused path.
+            scales = None
+            if alpha is not None:
+                seg_alphas = [alpha] + ([None] if self.use_metadata else [])
+                scales = encoding_scales(spec.enc_segments, seg_alphas)
             w, v = fused_se3_wv(
                 spec, points.reshape(-1, 3),
                 embed.reshape(-1, embed.shape[-1]),
-                se3_params_to_list(self.variables['params']))
+                se3_params_to_list(self.variables['params']),
+                enc_scales=scales)
             transform = rigid_body.exp_se3_from_wv(w, v)
             warped = rigid_body.transform_points(
                 transform, points.reshape(-1, 3).astype(jnp.float32))

@@ -8,8 +8,20 @@ input is only (P, 3+E) and neither the encoded features nor any activation
 ever reaches HBM.
 
 Input layout: one raw array (P, sum(seg_ch)) whose segments are encoded
-independently — segments with n_freq > 0 get [x | sin bands | cos bands]
-(ops/posenc.py layout), n_freq == 0 passes through (the GLO embedding).
+independently. A segment is (ch, n_freq) — posenc_orig: [x | sin bands |
+cos bands] over 2^0..2^(n_freq-1), n_freq == 0 passes raw features through
+(the GLO embedding) — or the long form (ch, n_freq, min_deg, use_identity)
+for the Nerfies encoding (bands 2^min_deg.., optional identity block).
+
+Coarse-to-fine annealing (the Hann window over bands, ops/posenc.py
+posenc_window) runs IN-KERNEL: when ``spec.windowed`` the kernel takes one
+extra (1, enc_pad) fp32 row of per-feature scales (identity features 1.0,
+sin/cos features the per-band window weight) multiplied into the encoding;
+the backward scales the encoding cotangent identically (the window is a
+schedule constant, d/dx (s*sin(fx)) = s*f*cos(fx)). Scales are built by
+``encoding_scales`` from the per-segment alphas — so the annealed model runs
+the SAME fused kernels as the fully-on one.
+
 The backward recomputes the forward per tile and applies the analytic posenc
 VJP per segment, accumulating fp32 dW/db across the sequential grid.
 """
@@ -32,9 +44,29 @@ def _rup(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def norm_seg(seg) -> Tuple[int, int, int, bool]:
+    """Normalize a segment to (ch, n_freq, min_deg, use_identity).
+
+    Short form (ch, n_freq) is posenc_orig: bands 2^0..2^(n_freq-1) with the
+    identity block. The long form expresses the Nerfies posenc (arbitrary
+    min_deg, optional identity). n_freq == 0 = raw pass-through.
+    """
+    if len(seg) == 2:
+        return (seg[0], seg[1], 0, True)
+    return (seg[0], seg[1], seg[2], bool(seg[3]))
+
+
+def seg_enc_ch(seg) -> int:
+    ch, f, _, ident = norm_seg(seg)
+    if f == 0:
+        return ch
+    return ch * ((1 if ident else 0) + 2 * f)
+
+
 class FusedFieldSpec(NamedTuple):
-    """Static config. segments: ((channels, n_freqs), ...)."""
-    segments: Tuple[Tuple[int, int], ...]
+    """Static config. segments: ((ch, n_freq) | (ch, n_freq, min_deg,
+    use_identity), ...)."""
+    segments: Tuple[Tuple, ...]
     depth: int = 6
     width: int = 128
     out_ch: int = 3
@@ -45,14 +77,16 @@ class FusedFieldSpec(NamedTuple):
     # Backward recompute keeps all activations of a tile live in VMEM, so it
     # needs a smaller tile than the forward (0 = same as tile).
     bwd_tile: int = 0
+    # Take a (1, enc_pad) per-feature scale row (the annealing window).
+    windowed: bool = False
 
     @property
     def raw_ch(self) -> int:
-        return sum(c for c, _ in self.segments)
+        return sum(norm_seg(s)[0] for s in self.segments)
 
     @property
     def enc_ch(self) -> int:
-        return sum(c * (1 + 2 * f) for c, f in self.segments)
+        return sum(seg_enc_ch(s) for s in self.segments)
 
     @property
     def enc_pad(self) -> int:
@@ -63,8 +97,9 @@ class FusedFieldSpec(NamedTuple):
         return _rup(self.width, LANE)
 
 
-def _band_matrix(ch: int, n_freq: int):
-    """(ch, n_freq*ch) with [c, k*ch+c] = 2^k: band expansion as one matmul.
+def _band_matrix(ch: int, n_freq: int, min_deg: int = 0):
+    """(ch, n_freq*ch) with [c, k*ch+c] = 2^(min_deg+k): band expansion as one
+    matmul.
 
     Per-band elementwise expansion (tile + multiply) lowers to dozens of
     lane-starved (T, 3) ops in Mosaic; a K=3 matmul rides the MXU instead.
@@ -72,56 +107,96 @@ def _band_matrix(ch: int, n_freq: int):
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, (ch, n_freq * ch), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (ch, n_freq * ch), 1)
-    freq = jnp.exp2((cols // ch).astype(jnp.float32))
+    freq = jnp.exp2((cols // ch + min_deg).astype(jnp.float32))
     return jnp.where(cols % ch == rows, freq, 0.0)
 
 
-def _encode(spec: FusedFieldSpec, x):
-    """Per-segment posenc_orig in VMEM; returns (T, enc_pad) compute-dtype."""
+def encoding_scales(segments, alphas, dtype=jnp.float32):
+    """Per-feature annealing scales for ``segments``: a (1, enc_pad) row.
+
+    ``alphas``: one entry per segment — None (fully on) or the posenc_window
+    alpha easing bands in as it goes 0 -> n_freq (ops/posenc.py
+    posenc_window / model_utils.py:282-298). Identity features scale 1.
+    Built OUTSIDE the kernel (host/XLA) and passed as an input.
+    """
+    from hypernerf_tpu.ops.posenc import posenc_window
+    parts = []
+    for seg, alpha in zip(segments, alphas):
+        ch, f, min_deg, ident = norm_seg(seg)
+        if f == 0:
+            parts.append(jnp.ones((ch,), dtype))
+            continue
+        if ident:
+            parts.append(jnp.ones((ch,), dtype))
+        if alpha is None:
+            band = jnp.ones((f,), dtype)
+        else:
+            band = posenc_window(min_deg, min_deg + f, alpha).astype(dtype)
+        band = jnp.repeat(band, ch)
+        parts += [band, band]
+    flat = jnp.concatenate(parts)
+    enc_ch = flat.shape[0]
+    return jnp.pad(flat, (0, _rup(enc_ch, LANE) - enc_ch))[None, :]
+
+
+def _encode(spec: FusedFieldSpec, x, scales=None):
+    """Per-segment posenc in VMEM; returns (T, enc_pad) compute-dtype.
+
+    ``scales``: optional (1, enc_pad) fp32 per-feature window weights.
+    """
     dt = jnp.dtype(spec.compute_dtype)
     parts = []
     start = 0
-    for ch, n_freq in spec.segments:
-        seg = x[:, start:start + ch].astype(jnp.float32)
+    for seg in spec.segments:
+        ch, n_freq, min_deg, ident = norm_seg(seg)
+        seg_x = x[:, start:start + ch].astype(jnp.float32)
         start += ch
         if n_freq == 0:
-            parts.append(seg.astype(dt))
+            parts.append(seg_x.astype(dt))
             continue
         xb = jax.lax.dot_general(
-            seg, _band_matrix(ch, n_freq),
+            seg_x, _band_matrix(ch, n_freq, min_deg),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        parts += [seg.astype(dt), jnp.sin(xb).astype(dt),
-                  jnp.cos(xb).astype(dt)]
+        if ident:
+            parts.append(seg_x.astype(dt))
+        parts += [jnp.sin(xb).astype(dt), jnp.cos(xb).astype(dt)]
     pad = spec.enc_pad - spec.enc_ch
     if pad:
         parts.append(jnp.zeros((x.shape[0], pad), dt))
-    return jnp.concatenate(parts, axis=-1)
+    enc = jnp.concatenate(parts, axis=-1)
+    if scales is not None:
+        enc = (enc.astype(jnp.float32) * scales.astype(jnp.float32)).astype(dt)
+    return enc
 
 
-def _encode_bwd(spec: FusedFieldSpec, x, g_enc):
+def _encode_bwd(spec: FusedFieldSpec, x, g_enc, scales=None):
     """VJP of _encode: (T, enc_pad) cotangent -> (T, raw_ch)."""
+    if scales is not None:
+        g_enc = g_enc.astype(jnp.float32) * scales.astype(jnp.float32)
     parts = []
     start_raw = 0
     start_enc = 0
-    for ch, n_freq in spec.segments:
-        seg = x[:, start_raw:start_raw + ch].astype(jnp.float32)
+    for seg in spec.segments:
+        ch, n_freq, min_deg, ident = norm_seg(seg)
+        seg_x = x[:, start_raw:start_raw + ch].astype(jnp.float32)
         start_raw += ch
-        width = ch * (1 + 2 * n_freq)
+        width = seg_enc_ch(seg)
         g_seg = g_enc[:, start_enc:start_enc + width].astype(jnp.float32)
         start_enc += width
         if n_freq == 0:
             parts.append(g_seg)
             continue
-        band = _band_matrix(ch, n_freq)
-        xb = jax.lax.dot_general(seg, band, (((1,), (0,)), ((), ())),
+        band = _band_matrix(ch, n_freq, min_deg)
+        xb = jax.lax.dot_general(seg_x, band, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        g_sin = g_seg[:, ch:ch + n_freq * ch]
-        g_cos = g_seg[:, ch + n_freq * ch:]
+        off = ch if ident else 0
+        g_sin = g_seg[:, off:off + n_freq * ch]
+        g_cos = g_seg[:, off + n_freq * ch:]
         flat = jnp.cos(xb) * g_sin - jnp.sin(xb) * g_cos
         # Contract back with the band matrix (freqs folded in) on the MXU.
         dx = jax.lax.dot_general(flat, band, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        parts.append(g_seg[:, :ch] + dx)
+        parts.append((g_seg[:, :ch] + dx) if ident else dx)
     return jnp.concatenate(parts, axis=-1)
 
 
@@ -176,9 +251,9 @@ def _dot_acc(h, g):
                                preferred_element_type=jnp.float32)
 
 
-def _forward_tile(spec: FusedFieldSpec, x_raw, wbs):
+def _forward_tile(spec: FusedFieldSpec, x_raw, wbs, scales=None):
     dt = jnp.dtype(spec.compute_dtype)
-    enc = _encode(spec, x_raw)
+    enc = _encode(spec, x_raw, scales)
     ins, outs = [], []
     h = enc
     for i in range(spec.depth):
@@ -197,15 +272,19 @@ def _forward_tile(spec: FusedFieldSpec, x_raw, wbs):
 def _make_fwd_kernel(spec: FusedFieldSpec, n_layers: int):
     def kernel(*refs):
         x_ref = refs[0]
-        wbs = [(refs[1 + 2 * k][:], refs[1 + 2 * k + 1][:])
+        off = 1
+        scales = refs[off][:] if spec.windowed else None
+        off += 1 if spec.windowed else 0
+        wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(n_layers)]
-        out_ref = refs[1 + 2 * n_layers]
-        *_, out = _forward_tile(spec, x_ref[:], wbs)
+        out_ref = refs[off + 2 * n_layers]
+        *_, out = _forward_tile(spec, x_ref[:], wbs, scales)
         out_ref[:] = out
     return kernel
 
 
-def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None):
+def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None,
+                   scales=None):
     """Recompute + backprop one tile (pure values, reusable by other kernels).
 
     ``fwd_vals`` may carry a precomputed ``_forward_tile`` result to avoid a
@@ -216,7 +295,7 @@ def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None):
     s = spec
     dt = jnp.dtype(s.compute_dtype)
     if fwd_vals is None:
-        fwd_vals = _forward_tile(s, x_raw, wbs)
+        fwd_vals = _forward_tile(s, x_raw, wbs, scales)
     enc, ins, outs, logit_in, _ = fwd_vals
     t = x_raw.shape[0]
     grads = [None] * (s.depth + 1)
@@ -242,7 +321,7 @@ def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None):
             g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
             gh = gh[:, :s.w_pad]
     g_enc_acc += gh.astype(jnp.float32)
-    dx_raw = _encode_bwd(s, x_raw[:, :s.raw_ch], g_enc_acc)
+    dx_raw = _encode_bwd(s, x_raw[:, :s.raw_ch], g_enc_acc, scales)
     return dx_raw, grads
 
 
@@ -251,10 +330,13 @@ def _make_bwd_kernel(spec: FusedFieldSpec, n_layers: int):
 
     def kernel(*refs):
         x_ref = refs[0]
-        g_ref = refs[1]
-        wbs = [(refs[2 + 2 * k][:], refs[2 + 2 * k + 1][:])
+        off = 1
+        scales = refs[off][:] if s.windowed else None
+        off += 1 if s.windowed else 0
+        g_ref = refs[off]; off += 1
+        wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(n_layers)]
-        o = 2 + 2 * n_layers
+        o = off + 2 * n_layers
         dx_ref = refs[o]
         dwb_refs = refs[o + 1:o + 1 + 2 * n_layers]
 
@@ -264,7 +346,8 @@ def _make_bwd_kernel(spec: FusedFieldSpec, n_layers: int):
                 r[:] = jnp.zeros(r.shape, r.dtype)
 
         x_raw = x_ref[:]
-        dx_raw, grads = _backward_tile(s, x_raw, g_ref[:], wbs)
+        dx_raw, grads = _backward_tile(s, x_raw, g_ref[:], wbs,
+                                       scales=scales)
         pad = x_raw.shape[1] - s.raw_ch
         if pad:
             dx_raw = jnp.concatenate(
@@ -289,34 +372,44 @@ def _common_specs(spec, p, x_raw, padded_wbs):
     return data_spec, w_in, w_specs
 
 
+def _scales_spec(spec):
+    return pl.BlockSpec((1, spec.enc_pad), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused(spec, x_raw, padded_flat):
+def _fused(spec, x_raw, scales, padded_flat):
     padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
                   for k in range(len(padded_flat) // 2)]
     p = x_raw.shape[0]
     data_spec, w_in, w_specs = _common_specs(spec, p, x_raw, padded_wbs)
+    s_in = [scales] if spec.windowed else []
+    s_specs = [_scales_spec(spec)] if spec.windowed else []
     return pl.pallas_call(
         _make_fwd_kernel(spec, len(padded_wbs)),
         grid=(p // spec.tile,),
-        in_specs=[data_spec] + w_specs,
+        in_specs=[data_spec] + s_specs + w_specs,
         out_specs=pl.BlockSpec((spec.tile, OUT_PAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, OUT_PAD), jnp.float32),
         interpret=spec.interpret,
-    )(x_raw, *w_in)
+    )(x_raw, *s_in, *w_in)
 
 
-def _fused_fwd(spec, x_raw, padded_flat):
-    return _fused(spec, x_raw, padded_flat), (x_raw, padded_flat)
+def _fused_fwd(spec, x_raw, scales, padded_flat):
+    return _fused(spec, x_raw, scales, padded_flat), (x_raw, scales,
+                                                      padded_flat)
 
 
 def _fused_bwd(spec, res, g):
-    x_raw, padded_flat = res
+    x_raw, scales, padded_flat = res
     spec = spec._replace(tile=spec.bwd_tile or spec.tile)
     padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
                   for k in range(len(padded_flat) // 2)]
     p = x_raw.shape[0]
     data_spec, w_in, w_specs = _common_specs(spec, p, x_raw, padded_wbs)
+    s_in = [scales] if spec.windowed else []
+    s_specs = [_scales_spec(spec)] if spec.windowed else []
     g_spec = pl.BlockSpec((spec.tile, OUT_PAD), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct(x_raw.shape, jnp.float32)]
@@ -331,15 +424,17 @@ def _fused_bwd(spec, res, g):
     outs = pl.pallas_call(
         _make_bwd_kernel(spec, len(padded_wbs)),
         grid=(p // spec.tile,),
-        in_specs=[data_spec, g_spec] + w_specs,
+        in_specs=[data_spec] + s_specs + [g_spec] + w_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=spec.interpret,
-    )(x_raw, g, *w_in)
+    )(x_raw, *s_in, g, *w_in)
     dx = outs[0].astype(x_raw.dtype)
     dflat = tuple(outs[1 + k].astype(padded_flat[k].dtype)
                   for k in range(len(padded_flat)))
-    return dx, dflat
+    # The window scales are a schedule constant (no gradient).
+    d_scales = None if scales is None else jnp.zeros_like(scales)
+    return dx, d_scales, dflat
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -354,7 +449,7 @@ def mlp_params_to_list(params) -> list:
     return pairs
 
 
-def fused_field_mlp(spec: FusedFieldSpec, x_raw, pairs):
+def fused_field_mlp(spec: FusedFieldSpec, x_raw, pairs, enc_scales=None):
     """Evaluate posenc+MLP for raw per-sample inputs.
 
     Args:
@@ -362,11 +457,14 @@ def fused_field_mlp(spec: FusedFieldSpec, x_raw, pairs):
       x_raw: (P, raw_ch) raw inputs, segments concatenated (e.g. [pts|embed]).
       pairs: (W, b) list in MLP order (hidden_0..hidden_{D-1}, logit),
         unpadded.
+      enc_scales: (1, enc_pad) per-feature window row (requires
+        spec.windowed; build with ``encoding_scales``).
 
     Returns:
       (P, out_ch) fp32 output (no output activation).
     """
     s = spec
+    assert (enc_scales is not None) == s.windowed
     p = x_raw.shape[0]
     import math as _math
     granularity = _math.lcm(s.tile, s.bwd_tile or s.tile)
@@ -376,5 +474,5 @@ def fused_field_mlp(spec: FusedFieldSpec, x_raw, pairs):
         x_in = jnp.pad(x_in, ((0, p_pad - p), (0, 0)))
     padded = _pad_params(s, pairs)
     padded_flat = tuple(a for wb in padded for a in wb)
-    out = _fused(s, x_in, padded_flat)
+    out = _fused(s, x_in, enc_scales, padded_flat)
     return out[:p, :s.out_ch]

@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hypernerf_tpu.ops.pallas import fused_field as ff
 from hypernerf_tpu.ops.pallas import fused_mlp as fm
+from hypernerf_tpu.ops.pallas import fused_se3 as fs3
 
 RAW_PAD = 16  # [points(3) | embed(E<=13)] padded lanes
 OUT_PAD = 8
@@ -42,18 +43,35 @@ def _rup(x: int, m: int) -> int:
 class FusedLevelSpec(NamedTuple):
     """Static config of the fused level (hashable)."""
     embed_ch: int = 8
-    # warp field (TranslationField)
+    # warp field: 'translation' (posenc_orig ++ embed -> MLP -> points+delta)
+    # or 'se3' (Nerfies posenc [++ embed] -> trunk -> w/v heads -> in-kernel
+    # screw exponential, rigid_body.se3_warp_vec).
+    warp_type: str = 'translation'
     warp_depth: int = 6
     warp_width: int = 128
     warp_freq: int = 10
+    se3_min_deg: int = 0
+    se3_max_deg: int = 8
+    se3_use_metadata: bool = True
+    # warp_alpha annealing window for the SE(3) encoding (scale-row input).
+    warp_windowed: bool = False
     # hyper sheet
     hyper_depth: int = 6
     hyper_width: int = 64
     hyper_sheet_freq: int = 7
     hyper_out: int = 4
-    # template
+    # template encoding: posenc_orig (use_original_embed) with
+    # xyz_freq/hyper_freq bands, or the Nerfies windowed posenc over
+    # [spatial|hyper]_[min|max]_deg with identity only on the spatial
+    # segment (models.py:457-478 vs the anneal mode). The Nerfies mode takes
+    # a (1, in_pad) window-scale row built from the annealing alphas.
+    use_original_embed: bool = True
     xyz_freq: int = 10
     hyper_freq: int = 6
+    spatial_min_deg: int = 0
+    spatial_max_deg: int = 10
+    hyper_min_deg: int = 0
+    hyper_max_deg: int = 4
     trunk_depth: int = 8
     trunk_width: int = 256
     rgb_depth: int = 4
@@ -76,7 +94,14 @@ class FusedLevelSpec(NamedTuple):
     tmpl_bwd_tile: int = 512
 
     @property
-    def warp_fs(self) -> 'ff.FusedFieldSpec':
+    def warp_fs(self):
+        if self.warp_type == 'se3':
+            return fs3.FusedSE3Spec(
+                embed_ch=self.embed_ch, use_metadata=self.se3_use_metadata,
+                min_deg=self.se3_min_deg, max_deg=self.se3_max_deg,
+                depth=self.warp_depth, width=self.warp_width,
+                skips=self.skips, compute_dtype=self.compute_dtype,
+                windowed=self.warp_windowed)
         return ff.FusedFieldSpec(
             segments=((3, self.warp_freq), (self.embed_ch, 0)),
             depth=self.warp_depth, width=self.warp_width, out_ch=3,
@@ -91,9 +116,17 @@ class FusedLevelSpec(NamedTuple):
             compute_dtype=self.compute_dtype)
 
     @property
+    def tmpl_enc_segments(self) -> tuple:
+        if self.use_original_embed:
+            return ((3, self.xyz_freq), (self.hyper_out, self.hyper_freq))
+        return ((3, self.spatial_max_deg - self.spatial_min_deg,
+                 self.spatial_min_deg, True),
+                (self.hyper_out, self.hyper_max_deg - self.hyper_min_deg,
+                 self.hyper_min_deg, False))
+
+    @property
     def tmpl_fs(self) -> 'fm.FusedMLPSpec':
-        in_ch = (3 * (1 + 2 * self.xyz_freq)
-                 + self.hyper_out * (1 + 2 * self.hyper_freq))
+        in_ch = sum(ff.seg_enc_ch(seg) for seg in self.tmpl_enc_segments)
         return fm.FusedMLPSpec(
             in_ch=in_ch, trunk_depth=self.trunk_depth,
             trunk_width=self.trunk_width, rgb_depth=self.rgb_depth,
@@ -103,12 +136,13 @@ class FusedLevelSpec(NamedTuple):
             compute_dtype=self.compute_dtype,
             tile=self.tmpl_bwd_tile, bwd_tile=self.tmpl_bwd_tile,
             interpret=self.interpret,
-            enc_segments=((3, self.xyz_freq),
-                          (self.hyper_out, self.hyper_freq)))
+            enc_segments=self.tmpl_enc_segments,
+            windowed=not self.use_original_embed)
 
     @property
     def n_warp_layers(self):
-        return self.warp_depth + 1
+        # translation: hidden + logit; se3: hidden + trunk logit + w + v.
+        return self.warp_depth + (3 if self.warp_type == 'se3' else 1)
 
     @property
     def n_hyper_layers(self):
@@ -128,18 +162,38 @@ def _split_wbs(spec: FusedLevelSpec, wbs):
     return wbs[:nw], wbs[nw:nw + nh], wbs[nw + nh:]
 
 
-def _forward_values(spec: FusedLevelSpec, x_raw, rgbc, alphac, wbs):
+def _warp_fwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
+                   warp_scales=None):
+    """(warped points, fwd stash) for one tile (translation or SE(3))."""
+    s = spec
+    if s.warp_type == 'se3':
+        from hypernerf_tpu.ops import rigid_body
+        vals = fs3._forward_tile(s.warp_fs, raw_f, warp_wbs,
+                                 scales=warp_scales)
+        w_out, v_out = vals[-2], vals[-1]
+        return rigid_body.se3_warp_vec(w_out[:, :3], v_out[:, :3], pts), vals
+    vals = ff._forward_tile(s.warp_fs, raw_f, warp_wbs)
+    return pts + vals[-1][:, :3], vals
+
+
+def _warp_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
+               warp_scales=None):
+    return _warp_fwd_tile(spec, pts, raw_f, warp_wbs, warp_scales)[0]
+
+
+def _forward_values(spec: FusedLevelSpec, x_raw, rgbc, alphac, wbs,
+                    warp_scales=None, tmpl_scales=None):
     """The fused chain on one tile; returns (rgb, alpha) raw fp32 heads."""
     s = spec
     warp_wbs, hyper_wbs, tmpl_wbs = _split_wbs(s, wbs)
     pts = x_raw[:, :3].astype(jnp.float32)
     raw_f = x_raw[:, :3 + s.embed_ch]
-    *_, warp_out = ff._forward_tile(s.warp_fs, raw_f, warp_wbs)
-    warped = pts + warp_out[:, :3]
+    warped = _warp_tile(s, pts, raw_f, warp_wbs, warp_scales)
     *_, hyper_out = ff._forward_tile(s.hyper_fs, raw_f, hyper_wbs)
     hyper = hyper_out[:, :s.hyper_out]
     raw_t = jnp.concatenate([warped, hyper], axis=-1)
-    rgb, alpha, _ = fm._forward_tile(s.tmpl_fs, raw_t, rgbc, alphac, tmpl_wbs)
+    rgb, alpha, _ = fm._forward_tile(s.tmpl_fs, raw_t, rgbc, alphac, tmpl_wbs,
+                                     enc_scales=tmpl_scales)
     return rgb, alpha, raw_t
 
 
@@ -151,13 +205,17 @@ def _make_fwd_kernel(spec: FusedLevelSpec, has_ac: bool):
         off = 2
         alphac_ref = refs[off] if has_ac else None
         off += 1 if has_ac else 0
+        warp_scales = refs[off][:] if s.warp_windowed else None
+        off += 1 if s.warp_windowed else 0
+        tmpl_scales = refs[off][:] if not s.use_original_embed else None
+        off += 0 if s.use_original_embed else 1
         wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(s.n_layers)]
         out_ref = refs[off + 2 * s.n_layers]
         rawt_ref = refs[off + 2 * s.n_layers + 1]
         alphac = alphac_ref[:] if has_ac else None
         rgb, alpha, raw_t = _forward_values(s, x_ref[:], rgbc_ref[:], alphac,
-                                            wbs)
+                                            wbs, warp_scales, tmpl_scales)
         t = rgb.shape[0]
         out_ref[:] = jnp.concatenate(
             [rgb[:, :s.rgb_channels], alpha[:, :s.alpha_channels],
@@ -169,6 +227,50 @@ def _make_fwd_kernel(spec: FusedLevelSpec, has_ac: bool):
     return kernel
 
 
+def _warp_bwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs, d_warped,
+                   warp_scales=None, fwd_vals=None):
+    """Backward through the warp for one tile.
+
+    Returns (d_pts, d_emb, w_grads): gradients w.r.t. the input points and
+    embedding plus the warp-net weight grads. For the translation residual,
+    d_pts includes the identity path; for SE(3) the screw exponential is
+    differentiated with jax.vjp over rigid_body.se3_warp_vec (pure jnp,
+    traceable inside the kernel). ``fwd_vals`` reuses a tile forward already
+    computed by the caller.
+    """
+    s = spec
+    t = pts.shape[0]
+    if s.warp_type == 'se3':
+        import jax as _jax
+
+        from hypernerf_tpu.ops import rigid_body
+        vals = fwd_vals if fwd_vals is not None else fs3._forward_tile(
+            s.warp_fs, raw_f, warp_wbs, scales=warp_scales)
+        w3 = vals[-2][:, :3]
+        v3 = vals[-1][:, :3]
+        _, vjp = _jax.vjp(rigid_body.se3_warp_vec, w3, v3, pts)
+        d_w3, d_v3, d_pts_direct = vjp(d_warped)
+        g_wv = jnp.concatenate(
+            [d_w3, d_v3, jnp.zeros((t, fs3.OUT_PAD - 6), jnp.float32)],
+            axis=-1)
+        d_rawf, w_grads = fs3._backward_tile(s.warp_fs, raw_f, g_wv,
+                                             warp_wbs, scales=warp_scales,
+                                             fwd_vals=vals)
+        if s.se3_use_metadata:
+            d_emb = d_rawf[:, 3:3 + s.embed_ch]
+        else:
+            d_emb = jnp.zeros((t, s.embed_ch), jnp.float32)
+        return d_pts_direct + d_rawf[:, :3], d_emb, w_grads
+    warp_vals = fwd_vals if fwd_vals is not None else ff._forward_tile(
+        s.warp_fs, raw_f, warp_wbs)
+    g_w = jnp.concatenate(
+        [d_warped, jnp.zeros((t, ff.OUT_PAD - 3), jnp.float32)], axis=-1)
+    d_rawf_w, w_grads = ff._backward_tile(s.warp_fs, raw_f, g_w, warp_wbs,
+                                          fwd_vals=warp_vals)
+    # Residual: d_pts gets d_warped directly.
+    return d_warped + d_rawf_w[:, :3], d_rawf_w[:, 3:], w_grads
+
+
 def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
     s = spec
 
@@ -177,6 +279,10 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
         off = 2
         alphac_ref = refs[off] if has_ac else None
         off += 1 if has_ac else 0
+        warp_scales = refs[off][:] if s.warp_windowed else None
+        off += 1 if s.warp_windowed else 0
+        tmpl_scales = refs[off][:] if not s.use_original_embed else None
+        off += 0 if s.use_original_embed else 1
         g_ref = refs[off]; off += 1
         wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(s.n_layers)]
@@ -202,8 +308,8 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
         # reused by their backward passes below — no duplicate recompute).
         pts = x_raw[:, :3].astype(jnp.float32)
         raw_f = x_raw[:, :3 + s.embed_ch]
-        warp_vals = ff._forward_tile(s.warp_fs, raw_f, warp_wbs)
-        warped = pts + warp_vals[-1][:, :3]
+        warped, warp_vals = _warp_fwd_tile(s, pts, raw_f, warp_wbs,
+                                           warp_scales)
         hyper_vals = ff._forward_tile(s.hyper_fs, raw_f, hyper_wbs)
         hyper = hyper_vals[-1][:, :s.hyper_out]
         raw_t = jnp.concatenate([warped, hyper], axis=-1)
@@ -211,7 +317,8 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
 
         # Template backward (includes its posenc VJP): dx_t is (T, 3+H).
         dx_t, drgbc, dalphac, t_grads = fm._backward_tile(
-            s.tmpl_fs, raw_t, rgbc, alphac, g_ref[:], tmpl_wbs)
+            s.tmpl_fs, raw_t, rgbc, alphac, g_ref[:], tmpl_wbs,
+            enc_scales=tmpl_scales)
         d_warped = dx_t[:, :3]
         d_hyper = dx_t[:, 3:]
 
@@ -222,15 +329,13 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
         d_rawf_h, h_grads = ff._backward_tile(s.hyper_fs, raw_f, g_h,
                                               hyper_wbs, fwd_vals=hyper_vals)
 
-        # Warp-field backward (delta head; the residual adds d_warped to
-        # d_points directly).
-        g_w = jnp.concatenate(
-            [d_warped, jnp.zeros((t, ff.OUT_PAD - 3), jnp.float32)], axis=-1)
-        d_rawf_w, w_grads = ff._backward_tile(s.warp_fs, raw_f, g_w, warp_wbs,
-                                              fwd_vals=warp_vals)
+        # Warp backward (residual translation or SE(3) exponential).
+        d_pts_w, d_emb_w, w_grads = _warp_bwd_tile(
+            s, pts, raw_f, warp_wbs, d_warped, warp_scales,
+            fwd_vals=warp_vals)
 
-        d_pts = d_warped + d_rawf_w[:, :3] + d_rawf_h[:, :3]
-        d_emb = d_rawf_w[:, 3:] + d_rawf_h[:, 3:]
+        d_pts = d_pts_w + d_rawf_h[:, :3]
+        d_emb = d_emb_w + d_rawf_h[:, 3:]
         d_raw = jnp.concatenate(
             [d_pts, d_emb,
              jnp.zeros((t, RAW_PAD - 3 - s.embed_ch), jnp.float32)], axis=-1)
@@ -247,7 +352,11 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
 
 def _pad_all_params(spec: FusedLevelSpec, warp_pairs, hyper_pairs,
                     tmpl_pairs):
-    return (ff._pad_params(spec.warp_fs, warp_pairs)
+    if spec.warp_type == 'se3':
+        warp_padded = fs3._pad_params(spec.warp_fs, warp_pairs)
+    else:
+        warp_padded = ff._pad_params(spec.warp_fs, warp_pairs)
+    return (warp_padded
             + ff._pad_params(spec.hyper_fs, hyper_pairs)
             + fm._pad_params(spec.tmpl_fs, tmpl_pairs))
 
@@ -277,10 +386,13 @@ def _make_fields_bwd_kernel(spec: FusedLevelSpec):
 
     def kernel(*refs):
         x_ref = refs[0]
-        dxt_ref = refs[1]
-        wbs = [(refs[2 + 2 * k][:], refs[2 + 2 * k + 1][:])
+        off = 1
+        warp_scales = refs[off][:] if s.warp_windowed else None
+        off += 1 if s.warp_windowed else 0
+        dxt_ref = refs[off]; off += 1
+        wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(n_field_layers)]
-        o = 2 + 2 * n_field_layers
+        o = off + 2 * n_field_layers
         dx_ref = refs[o]
         dwb_refs = refs[o + 1:o + 1 + 2 * n_field_layers]
 
@@ -290,6 +402,7 @@ def _make_fields_bwd_kernel(spec: FusedLevelSpec):
                 r[:] = jnp.zeros(r.shape, r.dtype)
 
         x_raw = x_ref[:]
+        pts = x_raw[:, :3].astype(jnp.float32)
         raw_f = x_raw[:, :3 + s.embed_ch]
         t = x_raw.shape[0]
         warp_wbs = wbs[:s.n_warp_layers]
@@ -304,12 +417,11 @@ def _make_fields_bwd_kernel(spec: FusedLevelSpec):
             axis=-1)
         d_rawf_h, h_grads = ff._backward_tile(s.hyper_fs, raw_f, g_h,
                                               hyper_wbs)
-        g_w = jnp.concatenate(
-            [d_warped, jnp.zeros((t, ff.OUT_PAD - 3), jnp.float32)], axis=-1)
-        d_rawf_w, w_grads = ff._backward_tile(s.warp_fs, raw_f, g_w, warp_wbs)
+        d_pts_w, d_emb_w, w_grads = _warp_bwd_tile(s, pts, raw_f, warp_wbs,
+                                                   d_warped, warp_scales)
 
-        d_pts = d_warped + d_rawf_w[:, :3] + d_rawf_h[:, :3]
-        d_emb = d_rawf_w[:, 3:] + d_rawf_h[:, 3:]
+        d_pts = d_pts_w + d_rawf_h[:, :3]
+        d_emb = d_emb_w + d_rawf_h[:, 3:]
         d_raw = jnp.concatenate(
             [d_pts, d_emb,
              jnp.zeros((t, RAW_PAD - 3 - s.embed_ch), jnp.float32)], axis=-1)
@@ -320,11 +432,19 @@ def _make_fields_bwd_kernel(spec: FusedLevelSpec):
     return kernel
 
 
-def _fields_bwd_call(spec: FusedLevelSpec, x_raw, dx_t, field_padded_wbs):
+def _fields_bwd_call(spec: FusedLevelSpec, x_raw, dx_t, field_padded_wbs,
+                     warp_scales=None):
     s = spec._replace(tile=spec.bwd_tile or spec.tile)
     p = x_raw.shape[0]
     w_in, w_specs = _weight_specs(field_padded_wbs)
-    in_specs = _data_specs(s, [x_raw.shape[1], fm.RAW_PAD]) + w_specs
+    sc_in, sc_specs = [], []
+    if s.warp_windowed:
+        sc_in = [warp_scales]
+        sc_specs = [pl.BlockSpec((1, warp_scales.shape[1]),
+                                 lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)]
+    in_specs = (_data_specs(s, [x_raw.shape[1]]) + sc_specs
+                + _data_specs(s, [fm.RAW_PAD]) + w_specs)
     out_shapes = [jax.ShapeDtypeStruct((p, x_raw.shape[1]), jnp.float32)]
     out_specs = _data_specs(s, [x_raw.shape[1]])
     for w, b in field_padded_wbs:
@@ -341,11 +461,28 @@ def _fields_bwd_call(spec: FusedLevelSpec, x_raw, dx_t, field_padded_wbs):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=s.interpret,
-    )(x_raw, dx_t, *w_in)
+    )(x_raw, *sc_in, dx_t, *w_in)
+
+
+def _tmpl_scales_specs(spec, tmpl_scales):
+    if spec.use_original_embed:
+        return [], []
+    return [tmpl_scales], [pl.BlockSpec((1, tmpl_scales.shape[1]),
+                                        lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)]
+
+
+def _warp_scales_specs(spec, warp_scales):
+    if not spec.warp_windowed:
+        return [], []
+    return [warp_scales], [pl.BlockSpec((1, warp_scales.shape[1]),
+                                        lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused(spec, x_raw, rgbc, alphac, padded_flat):
+def _fused(spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
+           padded_flat):
     s = spec
     p = x_raw.shape[0]
     has_ac = alphac is not None
@@ -354,11 +491,13 @@ def _fused(spec, x_raw, rgbc, alphac, padded_flat):
     widths = [x_raw.shape[1], rgbc.shape[1]] + (
         [alphac.shape[1]] if has_ac else [])
     data_in = [x_raw, rgbc] + ([alphac] if has_ac else [])
+    wsc_in, wsc_specs = _warp_scales_specs(s, warp_scales)
+    sc_in, sc_specs = _tmpl_scales_specs(s, tmpl_scales)
     w_in, w_specs = _weight_specs(padded_wbs)
     return pl.pallas_call(
         _make_fwd_kernel(s, has_ac),
         grid=(p // s.tile,),
-        in_specs=_data_specs(s, widths) + w_specs,
+        in_specs=_data_specs(s, widths) + wsc_specs + sc_specs + w_specs,
         out_specs=[
             pl.BlockSpec((s.tile, OUT_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -368,22 +507,32 @@ def _fused(spec, x_raw, rgbc, alphac, padded_flat):
         out_shape=[jax.ShapeDtypeStruct((p, OUT_PAD), jnp.float32),
                    jax.ShapeDtypeStruct((p, fm.RAW_PAD), jnp.float32)],
         interpret=s.interpret,
-    )(*data_in, *w_in)
+    )(*data_in, *wsc_in, *sc_in, *w_in)
 
 
-def _fused_fwd(spec, x_raw, rgbc, alphac, padded_flat):
-    out, raw_t = _fused(spec, x_raw, rgbc, alphac, padded_flat)
-    return (out, raw_t), (x_raw, rgbc, alphac, padded_flat, raw_t)
+def _fused_fwd(spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
+               padded_flat):
+    out, raw_t = _fused(spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
+                        padded_flat)
+    return (out, raw_t), (x_raw, rgbc, alphac, warp_scales, tmpl_scales,
+                          padded_flat, raw_t)
 
 
 def _fused_bwd(spec, res, g):
-    x_raw, rgbc, alphac, padded_flat, raw_t = res
+    (x_raw, rgbc, alphac, warp_scales, tmpl_scales, padded_flat,
+     raw_t) = res
     # raw_t is an internal residual output; its cotangent (g[1]) is always
     # zero because fused_level never exposes it.
     g = g[0]
+    d_scales = (None if tmpl_scales is None
+                else jnp.zeros_like(tmpl_scales))
+    d_wscales = (None if warp_scales is None
+                 else jnp.zeros_like(warp_scales))
     if spec.split_bwd:
-        return _fused_bwd_split(spec, x_raw, rgbc, alphac, padded_flat,
-                                raw_t, g)
+        dx, drgbc, dalphac, dflat = _fused_bwd_split(
+            spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
+            padded_flat, raw_t, g)
+        return dx, drgbc, dalphac, d_wscales, d_scales, dflat
     s = spec._replace(tile=spec.bwd_tile or spec.tile)
     p = x_raw.shape[0]
     has_ac = alphac is not None
@@ -391,7 +540,10 @@ def _fused_bwd(spec, res, g):
                   for k in range(len(padded_flat) // 2)]
     widths = [x_raw.shape[1], rgbc.shape[1]] + (
         [alphac.shape[1]] if has_ac else [])
-    data_in = [x_raw, rgbc] + ([alphac] if has_ac else []) + [g]
+    data_in = [x_raw, rgbc] + ([alphac] if has_ac else [])
+    wsc_in, wsc_specs = _warp_scales_specs(s, warp_scales)
+    sc_in, sc_specs = _tmpl_scales_specs(s, tmpl_scales)
+    data_in += wsc_in + sc_in + [g]
     w_in, w_specs = _weight_specs(padded_wbs)
     g_spec = pl.BlockSpec((s.tile, OUT_PAD), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -413,7 +565,8 @@ def _fused_bwd(spec, res, g):
     outs = pl.pallas_call(
         _make_bwd_kernel(s, has_ac),
         grid=(p // s.tile,),
-        in_specs=_data_specs(s, widths) + [g_spec] + w_specs,
+        in_specs=(_data_specs(s, widths) + wsc_specs + sc_specs + [g_spec]
+                  + w_specs),
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=s.interpret,
@@ -425,11 +578,12 @@ def _fused_bwd(spec, res, g):
     o += 1 if has_ac else 0
     dflat = tuple(outs[o + k].astype(padded_flat[k].dtype)
                   for k in range(len(padded_flat)))
-    return dx, drgbc, dalphac, dflat
+    return dx, drgbc, dalphac, d_wscales, d_scales, dflat
 
 
 
-def _fused_bwd_split(spec, x_raw, rgbc, alphac, padded_flat, raw_t, g):
+def _fused_bwd_split(spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
+                     padded_flat, raw_t, g):
     """Two-kernel backward: template bwd (fused_mlp's, larger tile) then a
     lean fields bwd, stitched through dx_t = d(warped|hyper)."""
     s = spec
@@ -439,7 +593,8 @@ def _fused_bwd_split(spec, x_raw, rgbc, alphac, padded_flat, raw_t, g):
     field_wbs = padded_wbs[:nw + nh]
     tmpl_wbs = padded_wbs[nw + nh:]
 
-    outs_t = fm._bwd_call(s.tmpl_fs, raw_t, rgbc, alphac, tmpl_wbs, g)
+    outs_t = fm._bwd_call(s.tmpl_fs, raw_t, rgbc, alphac, tmpl_wbs, g,
+                          enc_scales=tmpl_scales)
     has_ac = alphac is not None
     dx_t = outs_t[0]            # (P, fm.RAW_PAD) fp32
     drgbc = outs_t[1].astype(rgbc.dtype)
@@ -448,7 +603,7 @@ def _fused_bwd_split(spec, x_raw, rgbc, alphac, padded_flat, raw_t, g):
     o += 1 if has_ac else 0
     tmpl_dflat = list(outs_t[o:])
 
-    outs_f = _fields_bwd_call(s, x_raw, dx_t, field_wbs)
+    outs_f = _fields_bwd_call(s, x_raw, dx_t, field_wbs, warp_scales)
     dx = outs_f[0].astype(x_raw.dtype)
     field_dflat = list(outs_f[1:])
 
@@ -462,7 +617,8 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
-                warp_pairs, hyper_pairs, tmpl_pairs):
+                warp_pairs, hyper_pairs, tmpl_pairs, tmpl_enc_scales=None,
+                warp_enc_scales=None):
     """Evaluate the full fused level.
 
     Args:
@@ -473,12 +629,21 @@ def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
       rgb_cond: (P, rgb_cond_ch); alpha_cond: (P, alpha_cond_ch) or None.
       warp_pairs / hyper_pairs: (W, b) lists in MLP order.
       tmpl_pairs: (W, b) list in NerfMLP order.
+      tmpl_enc_scales: (1, tmpl in_pad) annealing-window row for the
+        template's Nerfies encoding (required iff use_original_embed=False;
+        build with fused_field.encoding_scales over tmpl_enc_segments).
+      warp_enc_scales: (1, se3 enc_pad) warp_alpha window row (required iff
+        warp_windowed; se3 only).
 
     Returns:
       {'rgb': (P, 3) raw logits, 'alpha': (P, 1) raw density} fp32.
     """
     s = spec
     assert 3 + s.embed_ch <= RAW_PAD, 'embed too wide for RAW_PAD'
+    assert (tmpl_enc_scales is not None) == (not s.use_original_embed)
+    assert (warp_enc_scales is not None) == s.warp_windowed
+    assert not (s.warp_windowed and s.warp_type != 'se3'), \
+        'warp window applies to the SE(3) encoding only'
     import math as _math
     p = points.shape[0]
     granularity = _math.lcm(s.tile, s.bwd_tile or s.tile,
@@ -503,7 +668,8 @@ def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
 
     padded = _pad_all_params(s, warp_pairs, hyper_pairs, tmpl_pairs)
     padded_flat = tuple(a for wb in padded for a in wb)
-    out, _raw_t = _fused(s, x_raw, rgbc, alphac, padded_flat)
+    out, _raw_t = _fused(s, x_raw, rgbc, alphac, warp_enc_scales,
+                         tmpl_enc_scales, padded_flat)
     out = out[:p]
     return {'rgb': out[:, :s.rgb_channels],
             'alpha': out[:, s.rgb_channels:s.rgb_channels

@@ -69,6 +69,9 @@ class FusedMLPSpec(NamedTuple):
     # Backward recompute keeps all activations of a tile live in VMEM, so it
     # needs a smaller tile than the forward (0 = same as tile).
     bwd_tile: int = 0
+    # Take a (1, in_pad) per-feature annealing-window row for the in-kernel
+    # encoding (requires enc_segments; see fused_field.encoding_scales).
+    windowed: bool = False
 
     @property
     def in_pad(self):
@@ -223,11 +226,14 @@ def _dot_acc(h, g):
                                preferred_element_type=jnp.float32)
 
 
-def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs):
+def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs,
+                  enc_scales=None):
     """Shared forward over one tile; returns (rgb, alpha, stash).
 
     x: (T, in_pad) bf16; rgbc: (T, rc) bf16; alphac: (T, ac) bf16 or None.
-    stash holds per-layer (input, post-relu output) for the backward.
+    enc_scales: optional (1, in_pad) fp32 window row for the in-kernel
+    encoding. stash holds per-layer (input, post-relu output) for the
+    backward.
     """
     s = spec
     bf = jnp.dtype(s.compute_dtype)
@@ -239,7 +245,7 @@ def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs):
         from hypernerf_tpu.ops.pallas.fused_field import _encode
         fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
         assert fs.enc_ch == s.in_ch, (fs.enc_ch, s.in_ch)
-        x = _encode(fs, x)
+        x = _encode(fs, x, enc_scales)
         # _encode pads to fs.enc_pad == rup(in_ch, 128) == s.in_pad.
         stash['x_enc'] = x
     h = x
@@ -285,11 +291,14 @@ def _make_fwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
         off = 2
         alphac_ref = refs[off] if has_ac else None
         off += 1 if has_ac else 0
+        scales = refs[off][:] if spec.windowed else None
+        off += 1 if spec.windowed else 0
         wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(n_layers)]
         out_ref = refs[off + 2 * n_layers]
         alphac = alphac_ref[:] if has_ac else None
-        rgb, alpha, _ = _forward_tile(spec, x_ref[:], rgbc_ref[:], alphac, wbs)
+        rgb, alpha, _ = _forward_tile(spec, x_ref[:], rgbc_ref[:], alphac, wbs,
+                                      enc_scales=scales)
         out = jnp.concatenate(
             [rgb[:, :spec.rgb_channels],
              alpha[:, :spec.alpha_channels],
@@ -300,7 +309,8 @@ def _make_fwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
     return kernel
 
 
-def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs):
+def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs,
+                   enc_scales=None):
     """Recompute + backprop one tile (pure values, reusable by fused_level).
 
     Args:
@@ -313,7 +323,7 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs):
     s = spec
     bf = jnp.dtype(s.compute_dtype)
     n_layers = len(wbs)
-    _, _, st = _forward_tile(s, x, rgbc, alphac, wbs)
+    _, _, st = _forward_tile(s, x, rgbc, alphac, wbs, enc_scales=enc_scales)
     t = g_all.shape[0]
     grads = [None] * n_layers
 
@@ -396,9 +406,10 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs):
     if s.enc_segments:
         from hypernerf_tpu.ops.pallas.fused_field import (
             FusedFieldSpec as _FS, _encode_bwd)
+        from hypernerf_tpu.ops.pallas.fused_field import norm_seg as _ns
         fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
-        raw_ch = sum(c for c, _ in s.enc_segments)
-        dx = _encode_bwd(fs, x[:, :raw_ch], g_x_acc)
+        raw_ch = sum(_ns(seg)[0] for seg in s.enc_segments)
+        dx = _encode_bwd(fs, x[:, :raw_ch], g_x_acc, enc_scales)
     else:
         dx = g_x_acc
     return dx, drgbc, dalphac, grads
@@ -412,6 +423,8 @@ def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
         off = 2
         alphac_ref = refs[off] if has_ac else None
         off += 1 if has_ac else 0
+        scales = refs[off][:] if s.windowed else None
+        off += 1 if s.windowed else 0
         g_ref = refs[off]; off += 1
         wb_refs = refs[off:off + 2 * n_layers]
         wbs = [(wb_refs[2 * k][:], wb_refs[2 * k + 1][:])
@@ -432,7 +445,7 @@ def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
         alphac = alphac_ref[:] if has_ac else None
         x = x_ref[:]
         dx, drgbc, dalphac, grads = _backward_tile(
-            s, x, rgbc_ref[:], alphac, g_ref[:], wbs)
+            s, x, rgbc_ref[:], alphac, g_ref[:], wbs, enc_scales=scales)
         pad = dx_ref.shape[1] - dx.shape[1]
         if pad:
             dx = jnp.concatenate(
@@ -447,14 +460,16 @@ def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
     return kernel
 
 
-def _fwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs):
+def _fwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs,
+              enc_scales=None):
     s = spec
     p = x_pad.shape[0]
     n_tiles = p // s.tile
     n_layers = len(padded_wbs)
     has_ac = alphac_pad is not None
 
-    data_in = [x_pad, rgbc_pad] + ([alphac_pad] if has_ac else [])
+    data_in = ([x_pad, rgbc_pad] + ([alphac_pad] if has_ac else [])
+               + ([enc_scales] if s.windowed else []))
     data_specs = [
         pl.BlockSpec((s.tile, x_pad.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -464,6 +479,10 @@ def _fwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs):
     if has_ac:
         data_specs.append(pl.BlockSpec((s.tile, alphac_pad.shape[1]),
                                        lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM))
+    if s.windowed:
+        data_specs.append(pl.BlockSpec((1, enc_scales.shape[1]),
+                                       lambda i: (0, 0),
                                        memory_space=pltpu.VMEM))
     w_in, w_specs = [], []
     for w, b in padded_wbs:
@@ -485,14 +504,16 @@ def _fwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs):
     return out
 
 
-def _bwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g):
+def _bwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g,
+              enc_scales=None):
     s = spec._replace(tile=spec.bwd_tile or spec.tile)
     p = x_pad.shape[0]
     n_tiles = p // s.tile
     n_layers = len(padded_wbs)
     has_ac = alphac_pad is not None
 
-    data_in = [x_pad, rgbc_pad] + ([alphac_pad] if has_ac else []) + [g]
+    data_in = ([x_pad, rgbc_pad] + ([alphac_pad] if has_ac else [])
+               + ([enc_scales] if s.windowed else []) + [g])
     data_specs = [
         pl.BlockSpec((s.tile, x_pad.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -502,6 +523,10 @@ def _bwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g):
     if has_ac:
         data_specs.append(pl.BlockSpec((s.tile, alphac_pad.shape[1]),
                                        lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM))
+    if s.windowed:
+        data_specs.append(pl.BlockSpec((1, enc_scales.shape[1]),
+                                       lambda i: (0, 0),
                                        memory_space=pltpu.VMEM))
     data_specs.append(pl.BlockSpec((s.tile, 8), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM))
@@ -549,22 +574,25 @@ def _bwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused(spec, x_pad, rgbc_pad, alphac_pad, padded_flat):
+def _fused(spec, x_pad, rgbc_pad, alphac_pad, enc_scales, padded_flat):
     padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
                   for k in range(len(padded_flat) // 2)]
-    return _fwd_call(spec, x_pad, rgbc_pad, alphac_pad, padded_wbs)
+    return _fwd_call(spec, x_pad, rgbc_pad, alphac_pad, padded_wbs,
+                     enc_scales)
 
 
-def _fused_fwd(spec, x_pad, rgbc_pad, alphac_pad, padded_flat):
-    return (_fused(spec, x_pad, rgbc_pad, alphac_pad, padded_flat),
-            (x_pad, rgbc_pad, alphac_pad, padded_flat))
+def _fused_fwd(spec, x_pad, rgbc_pad, alphac_pad, enc_scales, padded_flat):
+    return (_fused(spec, x_pad, rgbc_pad, alphac_pad, enc_scales,
+                   padded_flat),
+            (x_pad, rgbc_pad, alphac_pad, enc_scales, padded_flat))
 
 
 def _fused_bwd(spec, res, g):
-    x_pad, rgbc_pad, alphac_pad, padded_flat = res
+    x_pad, rgbc_pad, alphac_pad, enc_scales, padded_flat = res
     padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
                   for k in range(len(padded_flat) // 2)]
-    outs = _bwd_call(spec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g)
+    outs = _bwd_call(spec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g,
+                     enc_scales)
     has_ac = alphac_pad is not None
     dx = outs[0].astype(x_pad.dtype)
     drgbc = outs[1].astype(rgbc_pad.dtype)
@@ -573,7 +601,8 @@ def _fused_bwd(spec, res, g):
     o += 1 if has_ac else 0
     dflat = tuple(outs[o + k].astype(padded_flat[k].dtype)
                   for k in range(len(padded_flat)))
-    return dx, drgbc, dalphac, dflat
+    d_scales = None if enc_scales is None else jnp.zeros_like(enc_scales)
+    return dx, drgbc, dalphac, d_scales, dflat
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -590,7 +619,8 @@ def _unpad_weight_grad(dwp, segs, out_orig):
     return dw[:, :out_orig]
 
 
-def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs):
+def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs,
+                   enc_scales=None):
     """Fused template evaluation.
 
     Args:
@@ -599,12 +629,15 @@ def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs):
       rgb_cond: (P, rgb_cond_ch) per-sample rgb condition features.
       alpha_cond: (P, alpha_cond_ch) or None.
       pairs: list of (W, b) in nerf_mlp_params_to_list order (unpadded fp32).
+      enc_scales: (1, in_pad) annealing-window row (requires spec.windowed
+        and enc_segments; build with fused_field.encoding_scales).
 
     Returns:
       {'rgb': (P, rgb_channels), 'alpha': (P, alpha_channels)} raw fp32
       outputs (activations applied by the caller, matching NerfMLP).
     """
     s = spec
+    assert (enc_scales is not None) == s.windowed
     p = x.shape[0]
     import math as _math
     granularity = _math.lcm(s.tile, s.bwd_tile or s.tile)
@@ -615,7 +648,8 @@ def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs):
 
     dt = jnp.dtype(s.compute_dtype)
     if s.enc_segments:
-        raw_ch = sum(c for c, _ in s.enc_segments)
+        from hypernerf_tpu.ops.pallas.fused_field import norm_seg as _ns
+        raw_ch = sum(_ns(seg)[0] for seg in s.enc_segments)
         assert x.shape[1] == raw_ch, (x.shape, raw_ch)
         # Raw points stay fp32 (posenc needs the precision).
         x_pad = pad_rows(jnp.pad(x.astype(jnp.float32),
@@ -633,7 +667,7 @@ def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs):
 
     padded = _pad_params(s, pairs)
     padded_flat = tuple(a for wb in padded for a in wb)
-    out = _fused(s, x_pad, rgbc_pad, alphac_pad, padded_flat)
+    out = _fused(s, x_pad, rgbc_pad, alphac_pad, enc_scales, padded_flat)
     out = out[:p]
     return {'rgb': out[:, :s.rgb_channels],
             'alpha': out[:, s.rgb_channels:s.rgb_channels + s.alpha_channels]}

@@ -45,6 +45,9 @@ class FusedSE3Spec(NamedTuple):
     bwd_tile: int = 0
     interpret: bool = False
     compute_dtype: str = 'bfloat16'
+    # Take a (1, enc_pad) per-feature window row (the warp_alpha annealing;
+    # build with fused_field.encoding_scales over ``enc_segments``).
+    windowed: bool = False
 
     @property
     def n_freq(self) -> int:
@@ -72,9 +75,19 @@ class FusedSE3Spec(NamedTuple):
         # hidden 0..depth-1, trunk logit (no act), w head, v head
         return self.depth + 3
 
+    @property
+    def enc_segments(self) -> tuple:
+        segs = ((3, self.n_freq, self.min_deg, False),)
+        if self.use_metadata:
+            segs += ((self.embed_ch, 0),)
+        return segs
 
-def _encode(spec: FusedSE3Spec, x_raw):
-    """Nerfies posenc (no identity) over the point segment [+ raw embed]."""
+
+def _encode(spec: FusedSE3Spec, x_raw, scales=None):
+    """Nerfies posenc (no identity) over the point segment [+ raw embed].
+
+    ``scales``: optional (1, enc_pad) fp32 window row (warp_alpha annealing).
+    """
     s = spec
     dt = jnp.dtype(s.compute_dtype)
     pts = x_raw[:, :3].astype(jnp.float32)
@@ -89,12 +102,18 @@ def _encode(spec: FusedSE3Spec, x_raw):
     pad = s.enc_pad - s.enc_ch
     if pad:
         parts.append(jnp.zeros((x_raw.shape[0], pad), dt))
-    return jnp.concatenate(parts, axis=-1)
+    enc = jnp.concatenate(parts, axis=-1)
+    if scales is not None:
+        enc = (enc.astype(jnp.float32)
+               * scales.astype(jnp.float32)).astype(dt)
+    return enc
 
 
-def _encode_bwd(spec: FusedSE3Spec, x_raw, g_enc):
+def _encode_bwd(spec: FusedSE3Spec, x_raw, g_enc, scales=None):
     """VJP of _encode: -> (T, raw_ch) fp32."""
     s = spec
+    if scales is not None:
+        g_enc = g_enc.astype(jnp.float32) * scales.astype(jnp.float32)
     fc = 3 * s.n_freq
     pts = x_raw[:, :3].astype(jnp.float32)
     scale = 2.0 ** s.min_deg if s.min_deg else 1.0
@@ -149,10 +168,10 @@ def _pad_params(spec: FusedSE3Spec, pairs):
     return padded
 
 
-def _forward_tile(spec: FusedSE3Spec, x_raw, wbs):
+def _forward_tile(spec: FusedSE3Spec, x_raw, wbs, scales=None):
     s = spec
     dt = jnp.dtype(s.compute_dtype)
-    enc = _encode(s, x_raw)
+    enc = _encode(s, x_raw, scales)
     ins, outs = [], []
     h = enc
     for i in range(s.depth):
@@ -172,11 +191,14 @@ def _forward_tile(spec: FusedSE3Spec, x_raw, wbs):
     return enc, ins, outs, logit_in, trunk, w_out, v_out
 
 
-def _backward_tile(spec: FusedSE3Spec, x_raw, g_wv, wbs):
+def _backward_tile(spec: FusedSE3Spec, x_raw, g_wv, wbs, scales=None,
+                   fwd_vals=None):
     """g_wv: (T, OUT_PAD) fp32 packed [g_w(3) | g_v(3) | 0]."""
     s = spec
     dt = jnp.dtype(s.compute_dtype)
-    enc, ins, outs, logit_in, trunk, _, _ = _forward_tile(s, x_raw, wbs)
+    if fwd_vals is None:
+        fwd_vals = _forward_tile(s, x_raw, wbs, scales)
+    enc, ins, outs, logit_in, trunk, _, _ = fwd_vals
     t = x_raw.shape[0]
     grads = [None] * s.n_layers
 
@@ -210,7 +232,7 @@ def _backward_tile(spec: FusedSE3Spec, x_raw, g_wv, wbs):
             g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
             gh = gh[:, :s.w_pad]
     g_enc_acc += gh.astype(jnp.float32)
-    dx_raw = _encode_bwd(s, x_raw, g_enc_acc)
+    dx_raw = _encode_bwd(s, x_raw, g_enc_acc, scales)
     return dx_raw, grads
 
 
@@ -230,10 +252,13 @@ def _make_fwd_kernel(spec: FusedSE3Spec):
 
     def kernel(*refs):
         x_ref = refs[0]
-        wbs = [(refs[1 + 2 * k][:], refs[1 + 2 * k + 1][:])
+        off = 1
+        scales = refs[off][:] if s.windowed else None
+        off += 1 if s.windowed else 0
+        wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(s.n_layers)]
-        out_ref = refs[1 + 2 * s.n_layers]
-        *_, w_out, v_out = _forward_tile(s, x_ref[:], wbs)
+        out_ref = refs[off + 2 * s.n_layers]
+        *_, w_out, v_out = _forward_tile(s, x_ref[:], wbs, scales)
         t = w_out.shape[0]
         out_ref[:] = jnp.concatenate(
             [w_out[:, :3], v_out[:, :3],
@@ -245,10 +270,14 @@ def _make_bwd_kernel(spec: FusedSE3Spec):
     s = spec
 
     def kernel(*refs):
-        x_ref, g_ref = refs[0], refs[1]
-        wbs = [(refs[2 + 2 * k][:], refs[2 + 2 * k + 1][:])
+        x_ref = refs[0]
+        off = 1
+        scales = refs[off][:] if s.windowed else None
+        off += 1 if s.windowed else 0
+        g_ref = refs[off]; off += 1
+        wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(s.n_layers)]
-        o = 2 + 2 * s.n_layers
+        o = off + 2 * s.n_layers
         dx_ref = refs[o]
         dwb_refs = refs[o + 1:o + 1 + 2 * s.n_layers]
 
@@ -258,7 +287,8 @@ def _make_bwd_kernel(spec: FusedSE3Spec):
                 r[:] = jnp.zeros(r.shape, r.dtype)
 
         x_raw = x_ref[:]
-        dx_raw, grads = _backward_tile(s, x_raw, g_ref[:], wbs)
+        dx_raw, grads = _backward_tile(s, x_raw, g_ref[:], wbs,
+                                       scales=scales)
         pad = x_raw.shape[1] - dx_raw.shape[1]
         if pad:
             dx_raw = jnp.concatenate(
@@ -270,36 +300,46 @@ def _make_bwd_kernel(spec: FusedSE3Spec):
     return kernel
 
 
+def _scales_specs(spec, scales):
+    if not spec.windowed:
+        return [], []
+    return [scales], [pl.BlockSpec((1, scales.shape[1]), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused(spec, x_raw, padded_flat):
+def _fused(spec, x_raw, scales, padded_flat):
     s = spec
     p = x_raw.shape[0]
     padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
                   for k in range(len(padded_flat) // 2)]
+    sc_in, sc_specs = _scales_specs(s, scales)
     w_in, w_specs = _weight_specs(padded_wbs)
     data_spec = pl.BlockSpec((s.tile, x_raw.shape[1]), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _make_fwd_kernel(s),
         grid=(p // s.tile,),
-        in_specs=[data_spec] + w_specs,
+        in_specs=[data_spec] + sc_specs + w_specs,
         out_specs=pl.BlockSpec((s.tile, OUT_PAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, OUT_PAD), jnp.float32),
         interpret=s.interpret,
-    )(x_raw, *w_in)
+    )(x_raw, *sc_in, *w_in)
 
 
-def _fused_fwd(spec, x_raw, padded_flat):
-    return _fused(spec, x_raw, padded_flat), (x_raw, padded_flat)
+def _fused_fwd(spec, x_raw, scales, padded_flat):
+    return _fused(spec, x_raw, scales, padded_flat), (x_raw, scales,
+                                                      padded_flat)
 
 
 def _fused_bwd(spec, res, g):
-    x_raw, padded_flat = res
+    x_raw, scales, padded_flat = res
     s = spec._replace(tile=spec.bwd_tile or spec.tile)
     p = x_raw.shape[0]
     padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
                   for k in range(len(padded_flat) // 2)]
+    sc_in, sc_specs = _scales_specs(s, scales)
     w_in, w_specs = _weight_specs(padded_wbs)
     data_spec = pl.BlockSpec((s.tile, x_raw.shape[1]), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -317,15 +357,16 @@ def _fused_bwd(spec, res, g):
     outs = pl.pallas_call(
         _make_bwd_kernel(s),
         grid=(p // s.tile,),
-        in_specs=[data_spec, g_spec] + w_specs,
+        in_specs=[data_spec] + sc_specs + [g_spec] + w_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=s.interpret,
-    )(x_raw, g, *w_in)
+    )(x_raw, *sc_in, g, *w_in)
     dx = outs[0].astype(x_raw.dtype)
     dflat = tuple(outs[1 + k].astype(padded_flat[k].dtype)
                   for k in range(len(padded_flat)))
-    return dx, dflat
+    d_scales = None if scales is None else jnp.zeros_like(scales)
+    return dx, d_scales, dflat
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -346,12 +387,15 @@ def se3_params_to_list(params) -> list:
     return pairs
 
 
-def fused_se3_wv(spec: FusedSE3Spec, points, embed, pairs):
+def fused_se3_wv(spec: FusedSE3Spec, points, embed, pairs,
+                 enc_scales=None):
     """Evaluate the SE(3) trunk: (points, embed) -> (w, v), each (P, 3) fp32.
 
     The caller applies ops/rigid_body.exp_se3_from_wv + transform_points.
+    enc_scales: (1, enc_pad) warp_alpha window row (requires spec.windowed).
     """
     s = spec
+    assert (enc_scales is not None) == s.windowed
     p = points.shape[0]
     import math as _math
     granularity = _math.lcm(s.tile, s.bwd_tile or s.tile)
@@ -367,5 +411,5 @@ def fused_se3_wv(spec: FusedSE3Spec, points, embed, pairs):
 
     padded = _pad_params(s, pairs)
     padded_flat = tuple(a for wb in padded for a in wb)
-    out = _fused(s, x_raw, padded_flat)[:p]
+    out = _fused(s, x_raw, enc_scales, padded_flat)[:p]
     return out[:, :3], out[:, 3:6]

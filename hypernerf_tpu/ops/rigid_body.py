@@ -106,6 +106,47 @@ def exp_se3_from_wv(w, v):
     return jnp.where(small, translate, transform)
 
 
+def _cross(a, b):
+    """Cross product on (..., 3) via column slices (no 3x3 intermediates)."""
+    a0, a1, a2 = a[..., 0:1], a[..., 1:2], a[..., 2:3]
+    b0, b1, b2 = b[..., 0:1], b[..., 1:2], b[..., 2:3]
+    return jnp.concatenate([a1 * b2 - a2 * b1,
+                            a2 * b0 - a0 * b2,
+                            a0 * b1 - a1 * b0], axis=-1)
+
+
+def se3_warp_vec(w, v, points):
+    """exp_se3_from_wv + transform_points in pure vector form.
+
+    Identical math to the matrix path (Rodrigues + Modern Robotics 3.88)
+    expressed with cross/dot products only — no (..., 3, 3)/(..., 4, 4)
+    intermediates, so it runs efficiently inside Pallas kernels (Mosaic
+    handles (T, 3) blocks but lowers tiny matmul batches poorly) and keeps
+    XLA relayout-free. Tested for equality against the matrix path.
+
+    Args:
+      w: (..., 3) raw rotation outputs.  v: (..., 3) raw translations.
+      points: (..., 3).
+
+    Returns:
+      (..., 3) warped points.
+    """
+    theta = jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True))
+    safe = jnp.maximum(theta, _SMALL_ANGLE)
+    w_u = w / safe
+    v_u = v / safe
+    sin_t, cos_t = jnp.sin(safe), jnp.cos(safe)
+    # R p = p + sin(t) (w x p) + (1 - cos(t)) (w x (w x p))
+    wxp = _cross(w_u, points)
+    rp = points + sin_t * wxp + (1.0 - cos_t) * _cross(w_u, wxp)
+    # G v = t v + (1 - cos(t)) (w x v) + (t - sin(t)) (w x (w x v))
+    wxv = _cross(w_u, v_u)
+    gv = safe * v_u + (1.0 - cos_t) * wxv + (safe - sin_t) * _cross(w_u, wxv)
+    warped = rp + gv
+    # theta -> 0: pure translation by the raw v (matches exp_se3_from_wv).
+    return jnp.where(theta <= _SMALL_ANGLE, points + v, warped)
+
+
 def to_homogenous(v):
     """(..., 3) points -> (..., 4) homogeneous coordinates."""
     return jnp.concatenate([v, jnp.ones_like(v[..., :1])], axis=-1)

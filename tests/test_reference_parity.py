@@ -227,3 +227,33 @@ def test_transplant_rejects_topology_drift():
 def test_cat_perms_composition():
     p = cat_perms([np.array([1, 0]), 3, np.array([0, 2, 1])])
     np.testing.assert_array_equal(p, [1, 0, 2, 3, 4, 5, 7, 6])
+
+
+def test_reference_loader_reads_synthetic_scene(tmp_path):
+    """The reference's datasets/llff.py loads tools/make_synthetic_scene.py
+    output unchanged, and its precomputed ray buffer matches this repo's
+    loader numerically (same NDC rays, ids, rgbs)."""
+    import sys
+    sys.path.insert(0, '/root/repo/tools')
+    from make_synthetic_scene import make_scene
+    from tools.reference_on_synthetic import _install_dataset_shims
+    scene = str(tmp_path / 'scene')
+    make_scene(scene, n_frames=3, width=16, height=12)
+
+    load_reference()  # torch CPU patches
+    _install_dataset_shims()
+    if '/root/reference' not in sys.path:
+        sys.path.insert(0, '/root/reference')
+    from datasets.llff import LLFFDataset as RefLLFF
+
+    from hypernerf_tpu.datasets.llff import LLFFDataset as MyLLFF
+
+    ref_ds = RefLLFF(root_dir=scene, split='train', img_wh=(16, 12),
+                     include_idx=True)
+    my_ds = MyLLFF(root_dir=scene, split='train', img_wh=(16, 12),
+                   include_idx=True)
+    ref_rays = ref_ds.all_rays.numpy()
+    ref_rgbs = ref_ds.all_rgbs.numpy()
+    assert ref_rays.shape == tuple(my_ds.all_rays.shape)
+    np.testing.assert_allclose(my_ds.all_rays, ref_rays, atol=2e-5)
+    np.testing.assert_allclose(my_ds.all_rgbs, ref_rgbs, atol=1e-5)

@@ -71,3 +71,34 @@ def test_homogenous_helpers():
     np.testing.assert_array_equal(np.asarray(h), [[1, 2, 3, 1]])
     np.testing.assert_allclose(
         np.asarray(rigid_body.from_homogenous(h * 2.0)), [[1, 2, 3]])
+
+
+def test_se3_warp_vec_matches_matrix_path():
+    """The vector form (kernel-friendly, no 3x3) equals exp_se3_from_wv +
+    transform_points, including the theta->0 branch."""
+    import jax.numpy as jnp
+    from hypernerf_tpu.ops import rigid_body
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(50, 3).astype(np.float32) * 0.5)
+    v = jnp.asarray(rs.randn(50, 3).astype(np.float32) * 0.3)
+    pts = jnp.asarray(rs.randn(50, 3).astype(np.float32))
+    # Include near-zero rotations (the init regime).
+    w = w.at[:10].set(w[:10] * 1e-8)
+    ref = rigid_body.transform_points(rigid_body.exp_se3_from_wv(w, v), pts)
+    got = rigid_body.se3_warp_vec(w, v, pts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # Gradients agree too (the kernel backward uses jax.vjp of the vector
+    # form).
+    import jax
+    def loss_vec(w, v, pts):
+        return jnp.sum(rigid_body.se3_warp_vec(w, v, pts) ** 2)
+    def loss_mat(w, v, pts):
+        return jnp.sum(rigid_body.transform_points(
+            rigid_body.exp_se3_from_wv(w, v), pts) ** 2)
+    gv = jax.grad(loss_vec, argnums=(0, 1, 2))(w, v, pts)
+    gm = jax.grad(loss_mat, argnums=(0, 1, 2))(w, v, pts)
+    for a, b, name in zip(gv, gm, 'wvp'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)

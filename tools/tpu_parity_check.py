@@ -12,7 +12,10 @@ for the flagship model and each kernel switch combination.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -56,21 +59,79 @@ def main():
                      ['fine']['rgb'])
         return np.asarray(jax.device_get(fn(variables, rd)))
 
-    ref = render(base)
     failures = 0
-    for name, overrides in [
-            ('template kernel', dict(use_pallas=True)),
-            ('template + field kernels', dict(use_pallas=True,
-                                              use_pallas_fields=True)),
-            ('fused level kernel', dict(use_pallas=True,
-                                        use_pallas_fields=True,
-                                        use_pallas_level=True))]:
-        got = render(dataclasses.replace(base, **overrides))
-        err = np.abs(got - ref).max()
-        ok = err < 0.02  # bf16 path-order differences
-        print(f'{name}: max |drgb| = {err:.5f} {"OK" if ok else "FAIL"}',
-              flush=True)
-        failures += 0 if ok else 1
+
+    def compare(group, base_cfg, variables, extra_params, combos,
+                check_grads=False):
+        nonlocal failures
+
+        def run(cfg, with_grad):
+            m = NerfModel(cfg)
+
+            def fwd(v, r):
+                return m.apply(v, r, extra_params=extra_params,
+                               deterministic=True)['fine']['rgb']
+            if not with_grad:
+                fn = jax.jit(fwd)
+                return np.asarray(jax.device_get(fn(variables, rd))), None
+            def loss(v, r):
+                return jnp.mean(fwd(v, r) ** 2)
+            val, grads = jax.jit(jax.value_and_grad(loss))(variables, rd)
+            gflat = jnp.concatenate(
+                [g.reshape(-1) for g in jax.tree_util.tree_leaves(grads)])
+            return (np.asarray(jax.device_get(jax.jit(fwd)(variables, rd))),
+                    np.asarray(jax.device_get(gflat)))
+
+        ref, gref = run(base_cfg, check_grads)
+        for name, overrides in combos:
+            got, ggot = run(dataclasses.replace(base_cfg, **overrides),
+                            check_grads)
+            err = np.abs(got - ref).max()
+            ok = err < 0.02  # bf16 path-order differences
+            line = f'[{group}] {name}: max |drgb| = {err:.5f}'
+            if check_grads:
+                gerr = np.abs(ggot - gref).max()
+                gscale = max(np.abs(gref).max(), 1e-8)
+                gok = gerr < 0.05 * gscale + 1e-4
+                ok = ok and gok
+                line += f'  max |dgrad| = {gerr:.3e} (ref max {gscale:.3e})'
+            print(line + ('  OK' if ok else '  FAIL'), flush=True)
+            failures += 0 if ok else 1
+
+    kernel_combos = [
+        ('template kernel', dict(use_pallas=True)),
+        ('template + field kernels', dict(use_pallas=True,
+                                          use_pallas_fields=True)),
+        ('fused level kernel', dict(use_pallas=True,
+                                    use_pallas_fields=True,
+                                    use_pallas_level=True))]
+    compare('flagship', base, variables, None, kernel_combos)
+
+    # Anneal mode: Nerfies windowed encoding, mid-anneal alphas — the window
+    # runs in-kernel as a scale row; gradients must match the dense path.
+    anneal = dataclasses.replace(base, use_original_embed=False)
+    m = NerfModel(anneal)
+    anneal_vars = m.init({'params': key, 'sampling': key}, rd)
+    mid_alphas = {'nerf_alpha': jnp.float32(6.5),
+                  'warp_alpha': jnp.float32(4.2),
+                  'hyper_alpha': jnp.float32(2.1),
+                  'hyper_sheet_alpha': jnp.float32(2.1)}
+    compare('anneal', anneal, anneal_vars, mid_alphas, kernel_combos,
+            check_grads=True)
+
+    # SE(3) warp with mid-anneal warp_alpha (windowed in-kernel).
+    se3 = dataclasses.replace(base, warp_field_type='se3',
+                              use_original_embed=False)
+    m = NerfModel(se3)
+    se3_vars = m.init({'params': key, 'sampling': key}, rd)
+    compare('se3+anneal', se3, se3_vars, mid_alphas,
+            [('template + se3/field kernels', dict(use_pallas=True,
+                                                   use_pallas_fields=True)),
+             ('se3 fused level kernel', dict(use_pallas=True,
+                                             use_pallas_fields=True,
+                                             use_pallas_level=True))],
+            check_grads=True)
+
     sys.exit(1 if failures else 0)
 
 
