@@ -252,8 +252,15 @@ class NerfModel(nn.Module):
 
     def _render_level_fused(self, level, points, warp_embed_per_ray,
                             alpha_condition, rgb_condition, stratified,
-                            extra_params):
-        """One-kernel warp+hyper+template evaluation (TPU Pallas path)."""
+                            extra_params, origins=None, directions=None,
+                            z_vals=None, use_sample_at_infinity=True,
+                            render_opts=None):
+        """One-kernel warp+hyper+template evaluation (TPU Pallas path).
+
+        Returns a full per-ray render dict (rgb/depth/med_depth/acc/weights)
+        when the ray-native + fused-compositing path applies, else the
+        per-sample (rgb, sigma) pair for the caller to composite.
+        """
         from hypernerf_tpu.ops.pallas.fused_field import (encoding_scales,
                                                           mlp_params_to_list)
         from hypernerf_tpu.ops.pallas.fused_level import (FusedLevelSpec,
@@ -264,7 +271,27 @@ class NerfModel(nn.Module):
                    else self.nerf_mlp_coarse)
         batch_shape = points.shape[:-1]
 
+        # Ray-native mode: conditions (viewdir posenc, GLO embeds) and ray
+        # geometry stay per-RAY; the kernels expand o + z*d and the embeds
+        # in VMEM and reduce their gradients per ray — none of the (P, C)
+        # broadcasts or the (P, 3) points ever reach HBM. Requires every
+        # tile to hold whole rays.
+        n_samples = batch_shape[-1]
+        bwd_tile = min(cfg.pallas_tile, cfg.pallas_bwd_tile)
+        tmpl_bwd_tile = FusedLevelSpec._field_defaults['tmpl_bwd_tile']
+        have_rays = (origins is not None and directions is not None
+                     and z_vals is not None)
+        cond_samples = n_samples if have_rays and all(
+            t % n_samples == 0
+            for t in (cfg.pallas_tile, bwd_tile, tmpl_bwd_tile)) else 0
+        # Fully fused render: compositing runs in its own ray-major kernel
+        # on the packed level output (render_opts filtering needs per-sample
+        # sigma, so it falls back to the XLA compositing path).
+        composite = bool(cond_samples) and not render_opts
+
         def flat_cond(c):
+            if cond_samples:
+                return c.reshape(-1, c.shape[-1])
             c = jnp.broadcast_to(c[..., None, :], (*batch_shape, c.shape[-1]))
             return c.reshape(-1, c.shape[-1])
 
@@ -296,8 +323,9 @@ class NerfModel(nn.Module):
                            if alpha_condition is not None else 0),
             skips=cfg.skips,
             tile=cfg.pallas_tile,
-            bwd_tile=min(cfg.pallas_tile, cfg.pallas_bwd_tile),
-            compute_dtype=cfg.compute_dtype)
+            bwd_tile=bwd_tile,
+            compute_dtype=cfg.compute_dtype,
+            cond_samples=cond_samples)
         tmpl_scales = None
         if not cfg.use_original_embed:
             alphas = [extra_params.get('nerf_alpha'),
@@ -316,7 +344,7 @@ class NerfModel(nn.Module):
             warp_scales = None
         out = fused_level(
             spec,
-            points.reshape(-1, 3),
+            None if cond_samples else points.reshape(-1, 3),
             flat_cond(warp_embed_per_ray),
             flat_cond(rgb_condition),
             flat_cond(alpha_condition) if alpha_condition is not None
@@ -326,14 +354,46 @@ class NerfModel(nn.Module):
                 self.hyper_sheet_mlp.variables['params']['mlp']),
             nerf_mlp_params_to_list(mlp_mod.variables['params']),
             tmpl_enc_scales=tmpl_scales,
-            warp_enc_scales=warp_scales)
+            warp_enc_scales=warp_scales,
+            origins=(origins.reshape(-1, 3) if cond_samples else None),
+            directions=(directions.reshape(-1, 3) if cond_samples
+                        else None),
+            z_vals=(z_vals.reshape(-1, n_samples) if cond_samples
+                    else None),
+            return_packed=composite)
 
-        raw_alpha = out['alpha'].reshape(*batch_shape,
-                                         cfg.alpha_channels)
         noise_key = None
         if (stratified and cfg.noise_std is not None and cfg.noise_std > 0.0
                 and self.has_rng('sigma_noise')):
             noise_key = self.make_rng('sigma_noise')
+
+        if composite:
+            from hypernerf_tpu.ops.pallas.fused_composite import (
+                CompositeSpec, fused_composite)
+            z2 = z_vals.reshape(-1, n_samples)
+            noise = None
+            if noise_key is not None:
+                noise = (jax.random.normal(noise_key, z2.shape, jnp.float32)
+                         * cfg.noise_std)
+            cspec = CompositeSpec(
+                samples=n_samples,
+                rays_per_tile=max(8, 8192 // n_samples),
+                use_white_background=cfg.use_white_background,
+                sample_at_infinity=use_sample_at_infinity,
+                has_noise=noise is not None)
+            comp = fused_composite(cspec, out, z2,
+                                   directions.reshape(-1, 3), noise)
+            lead = batch_shape[:-1]
+            return {
+                'rgb': comp['rgb'].reshape(*lead, cfg.rgb_channels),
+                'depth': comp['depth'].reshape(lead),
+                'med_depth': comp['med_depth'].reshape(lead),
+                'acc': comp['acc'].reshape(lead),
+                'weights': comp['weights'].reshape(*lead, n_samples),
+            }
+
+        raw_alpha = out['alpha'].reshape(*batch_shape,
+                                         cfg.alpha_channels)
         raw_alpha = noise_regularize(noise_key, raw_alpha, cfg.noise_std,
                                      stratified)
         rgb = nn.sigmoid(out['rgb'].reshape(*batch_shape, cfg.rgb_channels))
@@ -384,7 +444,16 @@ class NerfModel(nn.Module):
         in_ch = sum(seg_enc_ch(seg) for seg in segments)
         enc_scales = self._template_enc_scales(segments, extra_params)
 
+        # Per-ray conditions when every tile holds whole rays (see
+        # _render_level_fused).
+        n_samples = batch_shape[-1]
+        bwd_tile = min(cfg.pallas_tile, 512)  # template bwd VMEM ceiling
+        cond_samples = n_samples if (cfg.pallas_tile % n_samples == 0
+                                     and bwd_tile % n_samples == 0) else 0
+
         def flat_cond(c):
+            if cond_samples:
+                return c.reshape(-1, c.shape[-1])
             c = jnp.broadcast_to(c[..., None, :], (*batch_shape, c.shape[-1]))
             return c.reshape(-1, c.shape[-1])
 
@@ -402,9 +471,10 @@ class NerfModel(nn.Module):
             alpha_cond_ch=(alpha_condition.shape[-1]
                            if alpha_condition is not None else 0),
             tile=cfg.pallas_tile,
-            bwd_tile=min(cfg.pallas_tile, 512),  # template bwd VMEM ceiling
+            bwd_tile=bwd_tile,
             compute_dtype=cfg.compute_dtype,
-            enc_segments=segments)
+            enc_segments=segments,
+            cond_samples=cond_samples)
         pairs = nerf_mlp_params_to_list(mlp_mod.variables['params'])
         out = fused_nerf_mlp(
             spec, points.reshape(-1, points.shape[-1]),
@@ -480,7 +550,8 @@ class NerfModel(nn.Module):
                        use_sample_at_infinity: bool = True,
                        stratified: bool = True,
                        render_opts=None,
-                       return_points: bool = False):
+                       return_points: bool = False,
+                       origins=None):
         """Evaluate warp + template + compositing for one level (models.py:587-671)."""
         cfg = self.config
         out = {}
@@ -517,9 +588,17 @@ class NerfModel(nn.Module):
             alpha_condition, rgb_condition = self.get_condition_inputs(
                 viewdirs, metadata, extra_params, metadata_encoded)
             if rgb_condition is not None:
-                rgb, sigma = self._render_level_fused(
+                fused = self._render_level_fused(
                     level, points, warp_embed, alpha_condition,
-                    rgb_condition, stratified, extra_params)
+                    rgb_condition, stratified, extra_params,
+                    origins=origins, directions=directions, z_vals=z_vals,
+                    use_sample_at_infinity=use_sample_at_infinity,
+                    render_opts=render_opts)
+                if isinstance(fused, dict):
+                    # Compositing already ran in the fused ray-major kernel.
+                    out.update(fused)
+                    return out
+                rgb, sigma = fused
                 sigma = filter_sigma(points, sigma, render_opts)
                 out.update(volumetric_rendering(
                     rgb, sigma, z_vals, directions,
@@ -631,7 +710,8 @@ class NerfModel(nn.Module):
             return_warp_jacobian=return_warp_jacobian,
             use_sample_at_infinity=cfg.use_sample_at_infinity,
             stratified=stratified,
-            return_points=return_points)
+            return_points=return_points,
+            origins=origins)
         out = {'coarse': coarse_ret}
 
         if cfg.num_fine_samples > 0:
@@ -652,7 +732,8 @@ class NerfModel(nn.Module):
                 use_sample_at_infinity=use_sample_at_infinity,
                 stratified=stratified,
                 render_opts=render_opts,
-                return_points=return_points)
+                return_points=return_points,
+                origins=origins)
 
         if not return_weights:
             for level in out:

@@ -32,7 +32,8 @@ from hypernerf_tpu.ops.pallas import fused_field as ff
 from hypernerf_tpu.ops.pallas import fused_mlp as fm
 from hypernerf_tpu.ops.pallas import fused_se3 as fs3
 
-RAW_PAD = 16  # [points(3) | embed(E<=13)] padded lanes
+RAW_PAD = 16  # [points(3) | embed(E<=13)] padded lanes (per-point embed mode)
+OD_PAD = 16   # per-ray [origin(3) | 0 | direction(3) | 0] lanes (ray mode)
 OUT_PAD = 8
 
 
@@ -92,6 +93,9 @@ class FusedLevelSpec(NamedTuple):
     # forward chain.
     split_bwd: bool = True
     tmpl_bwd_tile: int = 512
+    # When >0, rgb/alpha conditions are PER-RAY rows (P // cond_samples),
+    # expanded in-kernel; see fused_mlp.FusedMLPSpec.cond_samples.
+    cond_samples: int = 0
 
     @property
     def warp_fs(self):
@@ -137,7 +141,13 @@ class FusedLevelSpec(NamedTuple):
             tile=self.tmpl_bwd_tile, bwd_tile=self.tmpl_bwd_tile,
             interpret=self.interpret,
             enc_segments=self.tmpl_enc_segments,
-            windowed=not self.use_original_embed)
+            windowed=not self.use_original_embed,
+            cond_samples=self.cond_samples)
+
+    @property
+    def emb_pad(self):
+        """Lane padding of the per-ray embed input (cond_samples mode)."""
+        return _rup(self.embed_ch, 8)
 
     @property
     def n_warp_layers(self):
@@ -160,6 +170,50 @@ class FusedLevelSpec(NamedTuple):
 def _split_wbs(spec: FusedLevelSpec, wbs):
     nw, nh = spec.n_warp_layers, spec.n_hyper_layers
     return wbs[:nw], wbs[nw:nw + nh], wbs[nw + nh:]
+
+
+def _assemble_raw(spec: FusedLevelSpec, x_ref, od_ref, emb_ref):
+    """Build the per-point (T, 3+E) raw value from the kernel inputs.
+
+    Per-point mode: x_ref is (T, RAW_PAD) [pts|embed|0]; od_ref unused.
+    Ray mode (cond_samples>0): x_ref is (T, 1) z values, od_ref a
+    (1, rays, OD_PAD) per-ray [origin|direction] block, emb_ref a
+    (1, rays, emb_pad) per-ray embed block. The sample position
+    o + z*d is computed right here in VMEM (the XLA version materializes
+    (B, S, 3) broadcasts of o and d plus the (P, 3) points in HBM).
+
+    Returns (raw (T, 3+E), d_exp (T, OD_PAD) or None) — d_exp is reused by
+    the backward for d_z / d_od.
+    """
+    x = x_ref[:]
+    if not spec.cond_samples:
+        return x, None
+    od = fm._expand_rays(od_ref[0], x.shape[0])   # (T, OD_PAD) f32
+    pts = od[:, :3] + x * od[:, 8:11]
+    emb = fm._expand_rays(emb_ref[0], x.shape[0])
+    return jnp.concatenate([pts, emb[:, :spec.embed_ch]], axis=-1), od
+
+
+def _write_ray_grads(spec, x_ref, od_exp, d_pts, d_emb,
+                     dz_ref, dod_ref, demb_ref):
+    """Ray-mode gradient writes: d_z per point, d[o|d] and d_emb per ray.
+
+    pts = o + z*d, so d_z = sum_c d_pts_c * d_c, d_o = sum_s d_pts,
+    d_d = sum_s z * d_pts — the per-ray sums ride the one-hot matmul.
+    """
+    s = spec
+    t = d_pts.shape[0]
+    z = x_ref[:]                                   # (T, 1)
+    dz_ref[:] = jnp.sum(d_pts * od_exp[:, 8:11], axis=1,
+                        keepdims=True).astype(dz_ref.dtype)
+    d_od = jnp.concatenate(
+        [d_pts, jnp.zeros((t, 5), jnp.float32),
+         d_pts * z, jnp.zeros((t, OD_PAD - 11), jnp.float32)], axis=-1)
+    dod_ref[0] = fm._reduce_rays(d_od, dod_ref.shape[1]).astype(
+        dod_ref.dtype)
+    demb = fm._reduce_rays(d_emb, demb_ref.shape[1])
+    demb_ref[0] = jnp.pad(
+        demb, ((0, 0), (0, s.emb_pad - s.embed_ch))).astype(demb_ref.dtype)
 
 
 def _warp_fwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
@@ -201,8 +255,13 @@ def _make_fwd_kernel(spec: FusedLevelSpec, has_ac: bool):
     s = spec
 
     def kernel(*refs):
-        x_ref, rgbc_ref = refs[0], refs[1]
-        off = 2
+        x_ref = refs[0]
+        off = 1
+        od_ref = refs[off] if s.cond_samples else None
+        off += 1 if s.cond_samples else 0
+        emb_ref = refs[off] if s.cond_samples else None
+        off += 1 if s.cond_samples else 0
+        rgbc_ref = refs[off]; off += 1
         alphac_ref = refs[off] if has_ac else None
         off += 1 if has_ac else 0
         warp_scales = refs[off][:] if s.warp_windowed else None
@@ -213,8 +272,15 @@ def _make_fwd_kernel(spec: FusedLevelSpec, has_ac: bool):
                for k in range(s.n_layers)]
         out_ref = refs[off + 2 * s.n_layers]
         rawt_ref = refs[off + 2 * s.n_layers + 1]
-        alphac = alphac_ref[:] if has_ac else None
-        rgb, alpha, raw_t = _forward_values(s, x_ref[:], rgbc_ref[:], alphac,
+        x_raw, _ = _assemble_raw(s, x_ref, od_ref, emb_ref)
+        if s.cond_samples:
+            rgbc = fm._expand_rays(rgbc_ref[0], x_raw.shape[0])
+            alphac = (fm._expand_rays(alphac_ref[0], x_raw.shape[0])
+                      if has_ac else None)
+        else:
+            rgbc = rgbc_ref[:]
+            alphac = alphac_ref[:] if has_ac else None
+        rgb, alpha, raw_t = _forward_values(s, x_raw, rgbc, alphac,
                                             wbs, warp_scales, tmpl_scales)
         t = rgb.shape[0]
         out_ref[:] = jnp.concatenate(
@@ -275,8 +341,13 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
     s = spec
 
     def kernel(*refs):
-        x_ref, rgbc_ref = refs[0], refs[1]
-        off = 2
+        x_ref = refs[0]
+        off = 1
+        od_ref = refs[off] if s.cond_samples else None
+        off += 1 if s.cond_samples else 0
+        emb_ref = refs[off] if s.cond_samples else None
+        off += 1 if s.cond_samples else 0
+        rgbc_ref = refs[off]; off += 1
         alphac_ref = refs[off] if has_ac else None
         off += 1 if has_ac else 0
         warp_scales = refs[off][:] if s.warp_windowed else None
@@ -287,9 +358,12 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
         wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(s.n_layers)]
         o = off + 2 * s.n_layers
-        dx_ref = refs[o]
-        drgbc_ref = refs[o + 1]
-        o += 2
+        dx_ref = refs[o]; o += 1
+        dod_ref = refs[o] if s.cond_samples else None
+        o += 1 if s.cond_samples else 0
+        demb_ref = refs[o] if s.cond_samples else None
+        o += 1 if s.cond_samples else 0
+        drgbc_ref = refs[o]; o += 1
         dalphac_ref = refs[o] if has_ac else None
         o += 1 if has_ac else 0
         dwb_refs = refs[o:o + 2 * s.n_layers]
@@ -299,9 +373,14 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
             for r in dwb_refs:
                 r[:] = jnp.zeros(r.shape, r.dtype)
 
-        x_raw = x_ref[:]
-        rgbc = rgbc_ref[:]
-        alphac = alphac_ref[:] if has_ac else None
+        x_raw, od_exp = _assemble_raw(s, x_ref, od_ref, emb_ref)
+        if s.cond_samples:
+            rgbc = fm._expand_rays(rgbc_ref[0], x_raw.shape[0])
+            alphac = (fm._expand_rays(alphac_ref[0], x_raw.shape[0])
+                      if has_ac else None)
+        else:
+            rgbc = rgbc_ref[:]
+            alphac = alphac_ref[:] if has_ac else None
         warp_wbs, hyper_wbs, tmpl_wbs = _split_wbs(s, wbs)
 
         # Recompute the chain up to the template input (field stashes are
@@ -336,13 +415,23 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
 
         d_pts = d_pts_w + d_rawf_h[:, :3]
         d_emb = d_emb_w + d_rawf_h[:, 3:]
-        d_raw = jnp.concatenate(
-            [d_pts, d_emb,
-             jnp.zeros((t, RAW_PAD - 3 - s.embed_ch), jnp.float32)], axis=-1)
-        dx_ref[:] = d_raw.astype(dx_ref.dtype)
-        drgbc_ref[:] = drgbc.astype(drgbc_ref.dtype)
-        if has_ac:
-            dalphac_ref[:] = dalphac.astype(dalphac_ref.dtype)
+        if s.cond_samples:
+            _write_ray_grads(s, x_ref, od_exp, d_pts, d_emb,
+                             dx_ref, dod_ref, demb_ref)
+            drgbc_ref[0] = fm._reduce_rays(
+                drgbc, drgbc_ref.shape[1]).astype(drgbc_ref.dtype)
+            if has_ac:
+                dalphac_ref[0] = fm._reduce_rays(
+                    dalphac, dalphac_ref.shape[1]).astype(dalphac_ref.dtype)
+        else:
+            d_raw = jnp.concatenate(
+                [d_pts, d_emb,
+                 jnp.zeros((t, RAW_PAD - 3 - s.embed_ch), jnp.float32)],
+                axis=-1)
+            dx_ref[:] = d_raw.astype(dx_ref.dtype)
+            drgbc_ref[:] = drgbc.astype(drgbc_ref.dtype)
+            if has_ac:
+                dalphac_ref[:] = dalphac.astype(dalphac_ref.dtype)
 
         for k, (dw, db) in enumerate(w_grads + h_grads + t_grads):
             dwb_refs[2 * k][:] += dw
@@ -366,6 +455,22 @@ def _data_specs(spec, widths):
                          memory_space=pltpu.VMEM) for w in widths]
 
 
+def _cond_io(spec, arrays, n_tiles):
+    """Per-ray condition inputs: tiled 3-D arrays + their block specs.
+
+    Per-point mode passes through with plain (tile, C) blocks. Per-ray mode
+    reshapes each (R, C) to (n_tiles, R/n_tiles, C) with a full (1, rows, C)
+    block (see fused_mlp.cond_to_tiles for why 3-D).
+    """
+    if not spec.cond_samples:
+        return list(arrays), [
+            pl.BlockSpec((spec.tile, a.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM) for a in arrays]
+    rows = fm.cond_tile_rows(spec)
+    tiled = [fm.cond_to_tiles(a, n_tiles) for a in arrays]
+    return tiled, [fm.cond_spec3(rows, a.shape[1]) for a in arrays]
+
+
 def _weight_specs(padded_wbs):
     w_in, w_specs = [], []
     for w, b in padded_wbs:
@@ -387,21 +492,29 @@ def _make_fields_bwd_kernel(spec: FusedLevelSpec):
     def kernel(*refs):
         x_ref = refs[0]
         off = 1
+        od_ref = refs[off] if s.cond_samples else None
+        off += 1 if s.cond_samples else 0
+        emb_ref = refs[off] if s.cond_samples else None
+        off += 1 if s.cond_samples else 0
         warp_scales = refs[off][:] if s.warp_windowed else None
         off += 1 if s.warp_windowed else 0
         dxt_ref = refs[off]; off += 1
         wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(n_field_layers)]
         o = off + 2 * n_field_layers
-        dx_ref = refs[o]
-        dwb_refs = refs[o + 1:o + 1 + 2 * n_field_layers]
+        dx_ref = refs[o]; o += 1
+        dod_ref = refs[o] if s.cond_samples else None
+        o += 1 if s.cond_samples else 0
+        demb_ref = refs[o] if s.cond_samples else None
+        o += 1 if s.cond_samples else 0
+        dwb_refs = refs[o:o + 2 * n_field_layers]
 
         @pl.when(pl.program_id(0) == 0)
         def _():
             for r in dwb_refs:
                 r[:] = jnp.zeros(r.shape, r.dtype)
 
-        x_raw = x_ref[:]
+        x_raw, od_exp = _assemble_raw(s, x_ref, od_ref, emb_ref)
         pts = x_raw[:, :3].astype(jnp.float32)
         raw_f = x_raw[:, :3 + s.embed_ch]
         t = x_raw.shape[0]
@@ -422,31 +535,44 @@ def _make_fields_bwd_kernel(spec: FusedLevelSpec):
 
         d_pts = d_pts_w + d_rawf_h[:, :3]
         d_emb = d_emb_w + d_rawf_h[:, 3:]
-        d_raw = jnp.concatenate(
-            [d_pts, d_emb,
-             jnp.zeros((t, RAW_PAD - 3 - s.embed_ch), jnp.float32)], axis=-1)
-        dx_ref[:] = d_raw.astype(dx_ref.dtype)
+        if s.cond_samples:
+            _write_ray_grads(s, x_ref, od_exp, d_pts, d_emb,
+                             dx_ref, dod_ref, demb_ref)
+        else:
+            d_raw = jnp.concatenate(
+                [d_pts, d_emb,
+                 jnp.zeros((t, RAW_PAD - 3 - s.embed_ch), jnp.float32)],
+                axis=-1)
+            dx_ref[:] = d_raw.astype(dx_ref.dtype)
         for k, (dw, db) in enumerate(w_grads + h_grads):
             dwb_refs[2 * k][:] += dw
             dwb_refs[2 * k + 1][:] += db
     return kernel
 
 
-def _fields_bwd_call(spec: FusedLevelSpec, x_raw, dx_t, field_padded_wbs,
-                     warp_scales=None):
+def _fields_bwd_call(spec: FusedLevelSpec, x_raw, od, emb, dx_t,
+                     field_padded_wbs, warp_scales=None):
     s = spec._replace(tile=spec.bwd_tile or spec.tile)
     p = x_raw.shape[0]
+    n_tiles = p // s.tile
     w_in, w_specs = _weight_specs(field_padded_wbs)
+    ray_in, ray_specs = [], []
+    if s.cond_samples:
+        ray_in, ray_specs = _cond_io(s, [od, emb], n_tiles)
     sc_in, sc_specs = [], []
     if s.warp_windowed:
         sc_in = [warp_scales]
         sc_specs = [pl.BlockSpec((1, warp_scales.shape[1]),
                                  lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)]
-    in_specs = (_data_specs(s, [x_raw.shape[1]]) + sc_specs
+    in_specs = (_data_specs(s, [x_raw.shape[1]]) + ray_specs + sc_specs
                 + _data_specs(s, [fm.RAW_PAD]) + w_specs)
     out_shapes = [jax.ShapeDtypeStruct((p, x_raw.shape[1]), jnp.float32)]
     out_specs = _data_specs(s, [x_raw.shape[1]])
+    if s.cond_samples:
+        out_shapes += [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                       for a in ray_in]
+        out_specs += ray_specs
     for w, b in field_padded_wbs:
         out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32),
                        jax.ShapeDtypeStruct(b.shape, jnp.float32)]
@@ -454,14 +580,20 @@ def _fields_bwd_call(spec: FusedLevelSpec, x_raw, dx_t, field_padded_wbs,
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         _make_fields_bwd_kernel(s),
-        grid=(p // s.tile,),
+        grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=s.interpret,
-    )(x_raw, *sc_in, dx_t, *w_in)
+    )(x_raw, *ray_in, *sc_in, dx_t, *w_in)
+    if s.cond_samples:
+        outs = list(outs)
+        outs[1] = outs[1].reshape(od.shape)
+        outs[2] = outs[2].reshape(emb.shape)
+        outs = tuple(outs)
+    return outs
 
 
 def _tmpl_scales_specs(spec, tmpl_scales):
@@ -481,23 +613,26 @@ def _warp_scales_specs(spec, warp_scales):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused(spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
+def _fused(spec, x_raw, od, emb, rgbc, alphac, warp_scales, tmpl_scales,
            padded_flat):
     s = spec
     p = x_raw.shape[0]
+    n_tiles = p // s.tile
     has_ac = alphac is not None
     padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
                   for k in range(len(padded_flat) // 2)]
-    widths = [x_raw.shape[1], rgbc.shape[1]] + (
-        [alphac.shape[1]] if has_ac else [])
-    data_in = [x_raw, rgbc] + ([alphac] if has_ac else [])
+    cond_in, cond_specs = _cond_io(
+        s, ([od, emb] if s.cond_samples else []) + [rgbc]
+        + ([alphac] if has_ac else []), n_tiles)
+    in_specs = _data_specs(s, [x_raw.shape[1]]) + cond_specs
+    data_in = [x_raw] + cond_in
     wsc_in, wsc_specs = _warp_scales_specs(s, warp_scales)
     sc_in, sc_specs = _tmpl_scales_specs(s, tmpl_scales)
     w_in, w_specs = _weight_specs(padded_wbs)
     return pl.pallas_call(
         _make_fwd_kernel(s, has_ac),
-        grid=(p // s.tile,),
-        in_specs=_data_specs(s, widths) + wsc_specs + sc_specs + w_specs,
+        grid=(n_tiles,),
+        in_specs=in_specs + wsc_specs + sc_specs + w_specs,
         out_specs=[
             pl.BlockSpec((s.tile, OUT_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -510,16 +645,16 @@ def _fused(spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
     )(*data_in, *wsc_in, *sc_in, *w_in)
 
 
-def _fused_fwd(spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
+def _fused_fwd(spec, x_raw, od, emb, rgbc, alphac, warp_scales, tmpl_scales,
                padded_flat):
-    out, raw_t = _fused(spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
-                        padded_flat)
-    return (out, raw_t), (x_raw, rgbc, alphac, warp_scales, tmpl_scales,
-                          padded_flat, raw_t)
+    out, raw_t = _fused(spec, x_raw, od, emb, rgbc, alphac, warp_scales,
+                        tmpl_scales, padded_flat)
+    return (out, raw_t), (x_raw, od, emb, rgbc, alphac, warp_scales,
+                          tmpl_scales, padded_flat, raw_t)
 
 
 def _fused_bwd(spec, res, g):
-    (x_raw, rgbc, alphac, warp_scales, tmpl_scales, padded_flat,
+    (x_raw, od, emb, rgbc, alphac, warp_scales, tmpl_scales, padded_flat,
      raw_t) = res
     # raw_t is an internal residual output; its cotangent (g[1]) is always
     # zero because fused_level never exposes it.
@@ -529,18 +664,21 @@ def _fused_bwd(spec, res, g):
     d_wscales = (None if warp_scales is None
                  else jnp.zeros_like(warp_scales))
     if spec.split_bwd:
-        dx, drgbc, dalphac, dflat = _fused_bwd_split(
-            spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
+        dx, dod, demb, drgbc, dalphac, dflat = _fused_bwd_split(
+            spec, x_raw, od, emb, rgbc, alphac, warp_scales, tmpl_scales,
             padded_flat, raw_t, g)
-        return dx, drgbc, dalphac, d_wscales, d_scales, dflat
+        return (dx, dod, demb, drgbc, dalphac, d_wscales, d_scales, dflat)
     s = spec._replace(tile=spec.bwd_tile or spec.tile)
     p = x_raw.shape[0]
+    n_tiles = p // s.tile
     has_ac = alphac is not None
     padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
                   for k in range(len(padded_flat) // 2)]
-    widths = [x_raw.shape[1], rgbc.shape[1]] + (
-        [alphac.shape[1]] if has_ac else [])
-    data_in = [x_raw, rgbc] + ([alphac] if has_ac else [])
+    cond_in, cond_specs = _cond_io(
+        s, ([od, emb] if s.cond_samples else []) + [rgbc]
+        + ([alphac] if has_ac else []), n_tiles)
+    in_specs = _data_specs(s, [x_raw.shape[1]]) + cond_specs
+    data_in = [x_raw] + cond_in
     wsc_in, wsc_specs = _warp_scales_specs(s, warp_scales)
     sc_in, sc_specs = _tmpl_scales_specs(s, tmpl_scales)
     data_in += wsc_in + sc_in + [g]
@@ -548,13 +686,11 @@ def _fused_bwd(spec, res, g):
     g_spec = pl.BlockSpec((s.tile, OUT_PAD), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
 
-    out_shapes = [jax.ShapeDtypeStruct((p, x_raw.shape[1]), jnp.float32),
-                  jax.ShapeDtypeStruct((p, rgbc.shape[1]), jnp.float32)]
-    out_specs = _data_specs(s, [x_raw.shape[1], rgbc.shape[1]])
-    if has_ac:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((p, alphac.shape[1]), jnp.float32))
-        out_specs += _data_specs(s, [alphac.shape[1]])
+    out_shapes = [jax.ShapeDtypeStruct((p, x_raw.shape[1]), jnp.float32)]
+    out_specs = _data_specs(s, [x_raw.shape[1]])
+    out_shapes += [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                   for a in cond_in]
+    out_specs += cond_specs
     for w, b in padded_wbs:
         out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32),
                        jax.ShapeDtypeStruct(b.shape, jnp.float32)]
@@ -564,26 +700,32 @@ def _fused_bwd(spec, res, g):
         ]
     outs = pl.pallas_call(
         _make_bwd_kernel(s, has_ac),
-        grid=(p // s.tile,),
-        in_specs=(_data_specs(s, widths) + wsc_specs + sc_specs + [g_spec]
+        grid=(n_tiles,),
+        in_specs=(in_specs + wsc_specs + sc_specs + [g_spec]
                   + w_specs),
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=s.interpret,
     )(*data_in, *w_in)
     dx = outs[0].astype(x_raw.dtype)
-    drgbc = outs[1].astype(rgbc.dtype)
-    o = 2
-    dalphac = outs[o].astype(alphac.dtype) if has_ac else None
+    o = 1
+    if s.cond_samples:
+        dod = outs[o].reshape(od.shape).astype(od.dtype); o += 1
+        demb = outs[o].reshape(emb.shape).astype(emb.dtype); o += 1
+    else:
+        dod, demb = None, None
+    drgbc = outs[o].reshape(rgbc.shape).astype(rgbc.dtype); o += 1
+    dalphac = (outs[o].reshape(alphac.shape).astype(alphac.dtype)
+               if has_ac else None)
     o += 1 if has_ac else 0
     dflat = tuple(outs[o + k].astype(padded_flat[k].dtype)
                   for k in range(len(padded_flat)))
-    return dx, drgbc, dalphac, d_wscales, d_scales, dflat
+    return dx, dod, demb, drgbc, dalphac, d_wscales, d_scales, dflat
 
 
 
-def _fused_bwd_split(spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
-                     padded_flat, raw_t, g):
+def _fused_bwd_split(spec, x_raw, od, emb, rgbc, alphac, warp_scales,
+                     tmpl_scales, padded_flat, raw_t, g):
     """Two-kernel backward: template bwd (fused_mlp's, larger tile) then a
     lean fields bwd, stitched through dx_t = d(warped|hyper)."""
     s = spec
@@ -603,14 +745,21 @@ def _fused_bwd_split(spec, x_raw, rgbc, alphac, warp_scales, tmpl_scales,
     o += 1 if has_ac else 0
     tmpl_dflat = list(outs_t[o:])
 
-    outs_f = _fields_bwd_call(s, x_raw, dx_t, field_wbs, warp_scales)
+    outs_f = _fields_bwd_call(s, x_raw, od, emb, dx_t, field_wbs,
+                              warp_scales)
     dx = outs_f[0].astype(x_raw.dtype)
-    field_dflat = list(outs_f[1:])
+    o = 1
+    if s.cond_samples:
+        dod = outs_f[o].astype(od.dtype); o += 1
+        demb = outs_f[o].astype(emb.dtype); o += 1
+    else:
+        dod, demb = None, None
+    field_dflat = list(outs_f[o:])
 
     dflat_all = field_dflat + tmpl_dflat
     dflat = tuple(dflat_all[k].astype(padded_flat[k].dtype)
                   for k in range(len(padded_flat)))
-    return dx, drgbc, dalphac, dflat
+    return dx, dod, demb, drgbc, dalphac, dflat
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -618,15 +767,23 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
                 warp_pairs, hyper_pairs, tmpl_pairs, tmpl_enc_scales=None,
-                warp_enc_scales=None):
+                warp_enc_scales=None, origins=None, directions=None,
+                z_vals=None, return_packed: bool = False):
     """Evaluate the full fused level.
 
     Args:
       spec: static FusedLevelSpec.
-      points: (P, 3) sample positions.
+      points: (P, 3) sample positions (per-point mode; None in ray mode).
       embed: (P, embed_ch) per-sample warp/hyper embedding (shared — the
-        share_GLO default; models.py:167).
+        share_GLO default; models.py:167) — or (P // S, embed_ch) PER-RAY
+        when spec.cond_samples = S > 0.
       rgb_cond: (P, rgb_cond_ch); alpha_cond: (P, alpha_cond_ch) or None.
+        When spec.cond_samples = S > 0, both are PER-RAY (P // S rows) and
+        are expanded/reduced in-kernel (no per-point HBM broadcast).
+      origins / directions / z_vals: ray mode (cond_samples > 0) inputs —
+        (R, 3), (R, 3) per-ray and (R, S) per-sample depths; the kernel
+        computes o + z*d in VMEM (models.py's points never hit HBM) and
+        returns d_o/d_d summed per ray and d_z per sample.
       warp_pairs / hyper_pairs: (W, b) lists in MLP order.
       tmpl_pairs: (W, b) list in NerfMLP order.
       tmpl_enc_scales: (1, tmpl in_pad) annealing-window row for the
@@ -639,28 +796,61 @@ def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
       {'rgb': (P, 3) raw logits, 'alpha': (P, 1) raw density} fp32.
     """
     s = spec
-    assert 3 + s.embed_ch <= RAW_PAD, 'embed too wide for RAW_PAD'
+    assert s.cond_samples or 3 + s.embed_ch <= RAW_PAD, \
+        'embed too wide for RAW_PAD'
     assert (tmpl_enc_scales is not None) == (not s.use_original_embed)
     assert (warp_enc_scales is not None) == s.warp_windowed
     assert not (s.warp_windowed and s.warp_type != 'se3'), \
         'warp window applies to the SE(3) encoding only'
     import math as _math
-    p = points.shape[0]
+    if s.cond_samples:
+        assert points is None and z_vals is not None
+        r = z_vals.shape[0]
+        p = r * s.cond_samples
+        assert z_vals.shape == (r, s.cond_samples), z_vals.shape
+    else:
+        p = points.shape[0]
     granularity = _math.lcm(s.tile, s.bwd_tile or s.tile,
                             s.tmpl_bwd_tile if s.split_bwd else 1)
+    if s.cond_samples:
+        assert granularity % s.cond_samples == 0, \
+            'tiles must hold whole rays when cond_samples is set'
+        assert rgb_cond.shape[0] == p // s.cond_samples, \
+            (rgb_cond.shape, p, s.cond_samples)
     p_pad = _rup(p, granularity)
 
     def pad_rows(a):
         return jnp.pad(a, ((0, p_pad - p), (0, 0))) if p_pad != p else a
 
+    def pad_cond_rows(a):
+        if not s.cond_samples:
+            return pad_rows(a)
+        r, r_pad = p // s.cond_samples, p_pad // s.cond_samples
+        return jnp.pad(a, ((0, r_pad - r), (0, 0))) if r_pad != r else a
+
     dt = jnp.dtype(s.compute_dtype)
-    x_raw = pad_rows(jnp.concatenate(
-        [points.astype(jnp.float32), embed.astype(jnp.float32),
-         jnp.zeros((p, RAW_PAD - 3 - s.embed_ch), jnp.float32)], axis=-1))
-    rgbc = pad_rows(jnp.pad(rgb_cond.astype(dt),
-                            ((0, 0), (0, s.tmpl_fs.rc - s.rgb_cond_ch))))
+    if s.cond_samples:
+        # Ray-native inputs: per-point z column + per-ray [o|d] and embed
+        # rows; sample positions are computed inside the kernels.
+        assert embed.shape[0] == p // s.cond_samples, \
+            (embed.shape, p, s.cond_samples)
+        x_raw = pad_rows(z_vals.astype(jnp.float32).reshape(p, 1))
+        rz = jnp.zeros((origins.shape[0], 5), jnp.float32)
+        od = pad_cond_rows(jnp.concatenate(
+            [origins.astype(jnp.float32), rz,
+             directions.astype(jnp.float32), rz], axis=-1))
+        emb = pad_cond_rows(jnp.pad(
+            embed.astype(jnp.float32),
+            ((0, 0), (0, s.emb_pad - s.embed_ch))))
+    else:
+        x_raw = pad_rows(jnp.concatenate(
+            [points.astype(jnp.float32), embed.astype(jnp.float32),
+             jnp.zeros((p, RAW_PAD - 3 - s.embed_ch), jnp.float32)], axis=-1))
+        od, emb = None, None
+    rgbc = pad_cond_rows(jnp.pad(rgb_cond.astype(dt),
+                                 ((0, 0), (0, s.tmpl_fs.rc - s.rgb_cond_ch))))
     if s.alpha_cond_ch:
-        alphac = pad_rows(jnp.pad(
+        alphac = pad_cond_rows(jnp.pad(
             alpha_cond.astype(dt),
             ((0, 0), (0, s.tmpl_fs.ac - s.alpha_cond_ch))))
     else:
@@ -668,9 +858,13 @@ def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
 
     padded = _pad_all_params(s, warp_pairs, hyper_pairs, tmpl_pairs)
     padded_flat = tuple(a for wb in padded for a in wb)
-    out, _raw_t = _fused(s, x_raw, rgbc, alphac, warp_enc_scales,
+    out, _raw_t = _fused(s, x_raw, od, emb, rgbc, alphac, warp_enc_scales,
                          tmpl_enc_scales, padded_flat)
     out = out[:p]
+    if return_packed:
+        # Raw (P, OUT_PAD) [rgb_logits | raw_sigma | 0...] for the fused
+        # compositing kernel — avoids the slice->activate->repack HBM trips.
+        return out
     return {'rgb': out[:, :s.rgb_channels],
             'alpha': out[:, s.rgb_channels:s.rgb_channels
                          + s.alpha_channels]}

@@ -72,6 +72,13 @@ class FusedMLPSpec(NamedTuple):
     # Take a (1, in_pad) per-feature annealing-window row for the in-kernel
     # encoding (requires enc_segments; see fused_field.encoding_scales).
     windowed: bool = False
+    # When >0, the rgb/alpha condition inputs are PER-RAY rows (P //
+    # cond_samples of them), each covering cond_samples consecutive sample
+    # points; the kernel expands them in VMEM (one-hot matmul on the MXU)
+    # and the backward emits per-ray condition grads (summed over each
+    # ray's samples). Kills the (P, C) HBM broadcast the caller would
+    # otherwise materialize. Requires tile % cond_samples == 0.
+    cond_samples: int = 0
 
     @property
     def in_pad(self):
@@ -226,6 +233,52 @@ def _dot_acc(h, g):
                                preferred_element_type=jnp.float32)
 
 
+def _expand_rays(cond, n_points: int):
+    """(R, C) per-ray rows -> (n_points, C), each repeated n_points/R times.
+
+    Broadcast along a fresh sample axis + sublane-collapsing reshape: a pure
+    VPU copy in Mosaic (~10x cheaper per tile than the one-hot MXU matmul it
+    replaced, and exact for every dtype).
+    """
+    r, c = cond.shape
+    s = n_points // r
+    return jnp.broadcast_to(cond[:, None, :], (r, s, c)).reshape(n_points, c)
+
+
+def _reduce_rays(g, n_rays: int):
+    """(T, C) per-point cotangents -> (n_rays, C) fp32, summed per ray.
+
+    Sublane-splitting reshape + sum over the sample axis (exactly XLA's own
+    reshape-sum reduction tree).
+    """
+    t, c = g.shape
+    return jnp.sum(g.astype(jnp.float32).reshape(n_rays, t // n_rays, c),
+                   axis=1)
+
+
+def cond_tile_rows(spec) -> int:
+    """Per-ray rows covered by one grid step (cond_samples mode)."""
+    assert spec.tile % spec.cond_samples == 0, (spec.tile, spec.cond_samples)
+    return spec.tile // spec.cond_samples
+
+
+def cond_to_tiles(a, n_tiles: int):
+    """(R, C) per-ray rows -> (n_tiles, R/n_tiles, C).
+
+    Mosaic requires the last two block dims to be (8, 128)-aligned OR equal
+    to the array dims; a tile can cover fewer than 8 rays (e.g. 512-point
+    tiles at 128 samples/ray), so per-ray buffers are shipped 3-D with one
+    leading tile axis and a full-block (1, rows, C) spec. Row-major reshape:
+    free.
+    """
+    return a.reshape(n_tiles, a.shape[0] // n_tiles, a.shape[1])
+
+
+def cond_spec3(rows: int, width: int):
+    return pl.BlockSpec((1, rows, width), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs,
                   enc_scales=None):
     """Shared forward over one tile; returns (rgb, alpha, stash).
@@ -296,8 +349,15 @@ def _make_fwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
         wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
                for k in range(n_layers)]
         out_ref = refs[off + 2 * n_layers]
-        alphac = alphac_ref[:] if has_ac else None
-        rgb, alpha, _ = _forward_tile(spec, x_ref[:], rgbc_ref[:], alphac, wbs,
+        x = x_ref[:]
+        if spec.cond_samples:
+            rgbc = _expand_rays(rgbc_ref[0], x.shape[0])
+            alphac = (_expand_rays(alphac_ref[0], x.shape[0])
+                      if has_ac else None)
+        else:
+            rgbc = rgbc_ref[:]
+            alphac = alphac_ref[:] if has_ac else None
+        rgb, alpha, _ = _forward_tile(spec, x, rgbc, alphac, wbs,
                                       enc_scales=scales)
         out = jnp.concatenate(
             [rgb[:, :spec.rgb_channels],
@@ -442,18 +502,31 @@ def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
             for r in dwb_refs:
                 r[:] = jnp.zeros(r.shape, r.dtype)
 
-        alphac = alphac_ref[:] if has_ac else None
         x = x_ref[:]
+        if s.cond_samples:
+            rgbc = _expand_rays(rgbc_ref[0], x.shape[0])
+            alphac = (_expand_rays(alphac_ref[0], x.shape[0])
+                      if has_ac else None)
+        else:
+            rgbc = rgbc_ref[:]
+            alphac = alphac_ref[:] if has_ac else None
         dx, drgbc, dalphac, grads = _backward_tile(
-            s, x, rgbc_ref[:], alphac, g_ref[:], wbs, enc_scales=scales)
+            s, x, rgbc, alphac, g_ref[:], wbs, enc_scales=scales)
         pad = dx_ref.shape[1] - dx.shape[1]
         if pad:
             dx = jnp.concatenate(
                 [dx, jnp.zeros((dx.shape[0], pad), jnp.float32)], -1)
         dx_ref[:] = dx.astype(dx_ref.dtype)
-        drgbc_ref[:] = drgbc.astype(drgbc_ref.dtype)
-        if has_ac:
-            dalphac_ref[:] = dalphac.astype(dalphac_ref.dtype)
+        if s.cond_samples:
+            drgbc_ref[0] = _reduce_rays(
+                drgbc, drgbc_ref.shape[1]).astype(drgbc_ref.dtype)
+            if has_ac:
+                dalphac_ref[0] = _reduce_rays(
+                    dalphac, dalphac_ref.shape[1]).astype(dalphac_ref.dtype)
+        else:
+            drgbc_ref[:] = drgbc.astype(drgbc_ref.dtype)
+            if has_ac:
+                dalphac_ref[:] = dalphac.astype(dalphac_ref.dtype)
         for k, (dw, db) in enumerate(grads):
             dwb_refs[2 * k][:] += dw
             dwb_refs[2 * k + 1][:] += db
@@ -468,18 +541,31 @@ def _fwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs,
     n_layers = len(padded_wbs)
     has_ac = alphac_pad is not None
 
-    data_in = ([x_pad, rgbc_pad] + ([alphac_pad] if has_ac else [])
+    if s.cond_samples:
+        rows = cond_tile_rows(s)
+        rgbc_in = cond_to_tiles(rgbc_pad, n_tiles)
+        rgbc_spec = cond_spec3(rows, rgbc_pad.shape[1])
+        if has_ac:
+            alphac_in = cond_to_tiles(alphac_pad, n_tiles)
+            alphac_spec = cond_spec3(rows, alphac_pad.shape[1])
+    else:
+        rgbc_in = rgbc_pad
+        rgbc_spec = pl.BlockSpec((s.tile, rgbc_pad.shape[1]),
+                                 lambda i: (i, 0), memory_space=pltpu.VMEM)
+        if has_ac:
+            alphac_in = alphac_pad
+            alphac_spec = pl.BlockSpec((s.tile, alphac_pad.shape[1]),
+                                       lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    data_in = ([x_pad, rgbc_in] + ([alphac_in] if has_ac else [])
                + ([enc_scales] if s.windowed else []))
     data_specs = [
         pl.BlockSpec((s.tile, x_pad.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((s.tile, rgbc_pad.shape[1]), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        rgbc_spec,
     ]
     if has_ac:
-        data_specs.append(pl.BlockSpec((s.tile, alphac_pad.shape[1]),
-                                       lambda i: (i, 0),
-                                       memory_space=pltpu.VMEM))
+        data_specs.append(alphac_spec)
     if s.windowed:
         data_specs.append(pl.BlockSpec((1, enc_scales.shape[1]),
                                        lambda i: (0, 0),
@@ -512,18 +598,31 @@ def _bwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g,
     n_layers = len(padded_wbs)
     has_ac = alphac_pad is not None
 
-    data_in = ([x_pad, rgbc_pad] + ([alphac_pad] if has_ac else [])
+    if s.cond_samples:
+        rows = cond_tile_rows(s)
+        rgbc_in = cond_to_tiles(rgbc_pad, n_tiles)
+        rgbc_spec = cond_spec3(rows, rgbc_pad.shape[1])
+        if has_ac:
+            alphac_in = cond_to_tiles(alphac_pad, n_tiles)
+            alphac_spec = cond_spec3(rows, alphac_pad.shape[1])
+    else:
+        rgbc_in = rgbc_pad
+        rgbc_spec = pl.BlockSpec((s.tile, rgbc_pad.shape[1]),
+                                 lambda i: (i, 0), memory_space=pltpu.VMEM)
+        if has_ac:
+            alphac_in = alphac_pad
+            alphac_spec = pl.BlockSpec((s.tile, alphac_pad.shape[1]),
+                                       lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    data_in = ([x_pad, rgbc_in] + ([alphac_in] if has_ac else [])
                + ([enc_scales] if s.windowed else []) + [g])
     data_specs = [
         pl.BlockSpec((s.tile, x_pad.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((s.tile, rgbc_pad.shape[1]), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        rgbc_spec,
     ]
     if has_ac:
-        data_specs.append(pl.BlockSpec((s.tile, alphac_pad.shape[1]),
-                                       lambda i: (i, 0),
-                                       memory_space=pltpu.VMEM))
+        data_specs.append(alphac_spec)
     if s.windowed:
         data_specs.append(pl.BlockSpec((1, enc_scales.shape[1]),
                                        lambda i: (0, 0),
@@ -540,20 +639,16 @@ def _bwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g,
 
     out_shapes = [
         jax.ShapeDtypeStruct((p, x_pad.shape[1]), jnp.float32),   # dx
-        jax.ShapeDtypeStruct((p, rgbc_pad.shape[1]), jnp.float32),  # drgbc
+        jax.ShapeDtypeStruct(rgbc_in.shape, jnp.float32),         # drgbc
     ]
     out_specs = [
         pl.BlockSpec((s.tile, x_pad.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((s.tile, rgbc_pad.shape[1]), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        rgbc_spec,
     ]
     if has_ac:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((p, alphac_pad.shape[1]), jnp.float32))
-        out_specs.append(pl.BlockSpec((s.tile, alphac_pad.shape[1]),
-                                      lambda i: (i, 0),
-                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(alphac_in.shape, jnp.float32))
+        out_specs.append(alphac_spec)
     for w, b in padded_wbs:
         out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32),
                        jax.ShapeDtypeStruct(b.shape, jnp.float32)]
@@ -570,6 +665,13 @@ def _bwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g,
         out_shape=out_shapes,
         interpret=s.interpret,
     )(*data_in, *w_in)
+    if s.cond_samples:
+        # Un-tile the per-ray cond grads back to (R, C).
+        outs = list(outs)
+        outs[1] = outs[1].reshape(rgbc_pad.shape)
+        if has_ac:
+            outs[2] = outs[2].reshape(alphac_pad.shape)
+        outs = tuple(outs)
     return outs
 
 
@@ -626,8 +728,10 @@ def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs,
     Args:
       spec: static FusedMLPSpec (in_ch, depths, widths, cond dims, tile).
       x: (P, in_ch) encoded sample features (any float dtype).
-      rgb_cond: (P, rgb_cond_ch) per-sample rgb condition features.
-      alpha_cond: (P, alpha_cond_ch) or None.
+      rgb_cond: (P, rgb_cond_ch) per-sample rgb condition features — or,
+        when spec.cond_samples = S > 0, (P // S, rgb_cond_ch) PER-RAY rows
+        (each ray covering S consecutive sample points; expanded in-kernel).
+      alpha_cond: (P|P//S, alpha_cond_ch) or None.
       pairs: list of (W, b) in nerf_mlp_params_to_list order (unpadded fp32).
       enc_scales: (1, in_pad) annealing-window row (requires spec.windowed
         and enc_segments; build with fused_field.encoding_scales).
@@ -641,10 +745,22 @@ def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs,
     p = x.shape[0]
     import math as _math
     granularity = _math.lcm(s.tile, s.bwd_tile or s.tile)
+    if s.cond_samples:
+        assert p % s.cond_samples == 0, (p, s.cond_samples)
+        assert granularity % s.cond_samples == 0, \
+            'tiles must hold whole rays when cond_samples is set'
+        assert rgb_cond.shape[0] == p // s.cond_samples, \
+            (rgb_cond.shape, p, s.cond_samples)
     p_pad = _rup(p, granularity)
 
     def pad_rows(a):
         return jnp.pad(a, ((0, p_pad - p), (0, 0))) if p_pad != p else a
+
+    def pad_cond_rows(a):
+        if not s.cond_samples:
+            return pad_rows(a)
+        r, r_pad = p // s.cond_samples, p_pad // s.cond_samples
+        return jnp.pad(a, ((0, r_pad - r), (0, 0))) if r_pad != r else a
 
     dt = jnp.dtype(s.compute_dtype)
     if s.enc_segments:
@@ -657,11 +773,12 @@ def fused_nerf_mlp(spec: FusedMLPSpec, x, rgb_cond, alpha_cond, pairs,
     else:
         x_pad = pad_rows(jnp.pad(x.astype(dt),
                                  ((0, 0), (0, s.in_pad - s.in_ch))))
-    rgbc_pad = pad_rows(jnp.pad(rgb_cond.astype(dt),
-                                ((0, 0), (0, s.rc - s.rgb_cond_ch))))
+    rgbc_pad = pad_cond_rows(jnp.pad(rgb_cond.astype(dt),
+                                     ((0, 0), (0, s.rc - s.rgb_cond_ch))))
     if s.alpha_cond_ch:
-        alphac_pad = pad_rows(jnp.pad(alpha_cond.astype(dt),
-                                      ((0, 0), (0, s.ac - s.alpha_cond_ch))))
+        alphac_pad = pad_cond_rows(
+            jnp.pad(alpha_cond.astype(dt),
+                    ((0, 0), (0, s.ac - s.alpha_cond_ch))))
     else:
         alphac_pad = None
 
