@@ -102,6 +102,18 @@ class NerfConfig:
     # and the lean fields backward fits 1024 comfortably).
     pallas_bwd_tile: int = 1024
 
+    # Occupancy-grid guided coarse sampling (ops/occupancy.py; OFF by
+    # default for reference parity). The grid EMA-tracks the model's own
+    # density and reshapes the coarse sampling distribution toward occupied
+    # space — sample counts stay static (TPU), placement concentrates.
+    use_occupancy_grid: bool = False
+    occupancy_resolution: int = 64
+    occupancy_probes: int = 64      # uniform PDF bins probed per ray
+    occupancy_floor: float = 0.01   # uniform support floor in the PDF
+    # World-space bounding box of the grid ((min,)*3, (max,)*3).
+    occupancy_bbox_min: float = -2.0
+    occupancy_bbox_max: float = 2.0
+
     def __post_init__(self):
         if self.hyper_slice_method not in ('none', 'axis_aligned_plane',
                                            'bendy_sheet'):
@@ -173,6 +185,11 @@ class TrainConfig:
     # Coarse-to-fine posenc annealing (active when use_original_embed=False).
     warp_alpha_steps: int = 80000
     hyper_alpha_steps: int = 10000
+
+    # Occupancy-grid refresh cadence (steps) and EMA decay per refresh
+    # (active when NerfConfig.use_occupancy_grid).
+    occupancy_update_every: int = 16
+    occupancy_decay: float = 0.95
 
     exp_name: str = 'exp'
     ckpt_dir: str = 'ckpts'

@@ -541,6 +541,45 @@ class NerfModel(nn.Module):
         warp_embed = self.warp_embed(warp_metadata)
         return self.warp_field(points, warp_embed, extra_params)
 
+    def query_sigma(self, points, metadata_id, extra_params=None):
+        """Template density at raw world points for one metadata id.
+
+        Used by the occupancy grid refresh (ops/occupancy.py): runs the full
+        warp -> hyper -> template chain deterministically (no sigma noise)
+        and returns only the density.
+
+        Args:
+          points: (N, 3) world positions.
+          metadata_id: (N, 1) integer id (same for all rows typically).
+          extra_params: posenc annealing alphas.
+
+        Returns:
+          (N,) densities.
+        """
+        cfg = self.config
+        extra_params = {**DEFAULT_EXTRA_PARAMS, **(extra_params or {})}
+        metadata = {k: metadata_id for k in METADATA_KEYS}
+        use_warp = cfg.use_warp
+
+        warp_embed = self.encode_warp_embed(metadata) if use_warp else None
+        if cfg.has_hyper_embed:
+            hyper_embed = (warp_embed if cfg.hyper_use_warp_embed
+                           else self.encode_hyper_embed(metadata))
+        else:
+            hyper_embed = None
+
+        pts = points[:, None, :]  # (N, 1, 3)
+        we = warp_embed[:, None, :] if warp_embed is not None else None
+        he = hyper_embed[:, None, :] if hyper_embed is not None else None
+        warped, _ = self.map_points(pts, we, he, extra_params,
+                                    use_warp=use_warp)
+        viewdirs = jnp.zeros_like(points)
+        _, sigma = self.query_template(
+            'fine' if cfg.num_fine_samples > 0 else 'coarse', warped,
+            viewdirs, metadata, extra_params=extra_params,
+            stratified=False)
+        return sigma[:, 0]
+
     # ---------------------------------------------------------------- rendering
 
     def render_samples(self, level, points, z_vals, directions, viewdirs,
@@ -656,7 +695,8 @@ class NerfModel(nn.Module):
                  far=None,
                  use_sample_at_infinity=None,
                  render_opts=None,
-                 deterministic: bool = False):
+                 deterministic: bool = False,
+                 occupancy_grid=None):
         """Render a batch of rays (models.py:673-780).
 
         Args:
@@ -672,6 +712,9 @@ class NerfModel(nn.Module):
           use_sample_at_infinity: override config.
           render_opts: dict for filter_sigma ('dust_threshold'/'bounding_box').
           deterministic: disable stratified sampling and sigma noise (eval).
+          occupancy_grid: optional (G, G, G) density grid; with
+            config.use_occupancy_grid it reshapes the coarse sampling
+            distribution toward occupied space (ops/occupancy.py).
 
         Returns:
           {'coarse': {...}, 'fine': {...}} with per-ray rgb/depth/med_depth/acc
@@ -700,9 +743,18 @@ class NerfModel(nn.Module):
             coarse_key = self.make_rng('sampling')
         else:
             coarse_key = jax.random.PRNGKey(0)  # unused when not stratified
-        z_vals, points = sample_along_rays(
-            coarse_key, origins, directions, cfg.num_coarse_samples,
-            near, far, stratified, cfg.use_linear_disparity)
+        if cfg.use_occupancy_grid and occupancy_grid is not None:
+            from hypernerf_tpu.ops.occupancy import sample_occupancy_rays
+            bbox = ((cfg.occupancy_bbox_min,) * 3,
+                    (cfg.occupancy_bbox_max,) * 3)
+            z_vals, points = sample_occupancy_rays(
+                coarse_key, origins, directions, occupancy_grid, bbox,
+                cfg.num_coarse_samples, near, far, cfg.occupancy_probes,
+                stratified, cfg.occupancy_floor)
+        else:
+            z_vals, points = sample_along_rays(
+                coarse_key, origins, directions, cfg.num_coarse_samples,
+                near, far, stratified, cfg.use_linear_disparity)
         coarse_ret = self.render_samples(
             'coarse', points, z_vals, directions, viewdirs, metadata,
             extra_params, use_warp=use_warp,

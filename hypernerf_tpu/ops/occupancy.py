@@ -1,0 +1,120 @@
+"""Occupancy-grid guided coarse sampling (opt-in, NerfAcc-style).
+
+The reference samples the coarse level uniformly in depth
+(/root/reference/hypernerf/model_utils.py:6-41); most samples land in empty
+space. This module maintains a density occupancy grid (EMA of the model's
+own sigma, periodically refreshed) and reshapes the coarse sampling
+DISTRIBUTION toward occupied space.
+
+TPU-native design note: NerfAcc-style per-sample skipping needs dynamic
+shapes/compaction, which doesn't map to XLA's static compilation model.
+Instead the grid drives a piecewise-constant PDF per ray (probed at M
+uniform bins) inverted with the same vectorized CDF machinery as the fine
+level (ops/sampling.piecewise_constant_pdf) — sample COUNT stays static,
+sample PLACEMENT concentrates, so users can cut ``--num_coarse_samples``
+2-4x at equal quality. Off by default to preserve reference parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hypernerf_tpu.ops.sampling import piecewise_constant_pdf
+
+
+def init_grid(resolution: int, dtype=jnp.float32):
+    """Fresh (res, res, res) density grid (zeros = everything empty, but the
+    sampling floor keeps full support until the first update)."""
+    return jnp.zeros((resolution,) * 3, dtype)
+
+
+def _to_unit(points, bbox):
+    """World points -> [0, 1)^3 coordinates of the grid bounding box."""
+    bb_min, bb_max = bbox
+    bb_min = jnp.asarray(bb_min, points.dtype)
+    bb_max = jnp.asarray(bb_max, points.dtype)
+    return (points - bb_min) / (bb_max - bb_min)
+
+
+def grid_lookup(grid, points, bbox):
+    """Nearest-voxel density at ``points``; 0 outside the bbox.
+
+    Args:
+      grid: (G, G, G) densities.
+      points: (..., 3) world positions.
+      bbox: ((3,), (3,)) world min/max corners.
+
+    Returns:
+      (...,) density values.
+    """
+    res = grid.shape[0]
+    uvw = _to_unit(points, bbox)
+    idx = jnp.clip(jnp.floor(uvw * res).astype(jnp.int32), 0, res - 1)
+    inside = jnp.all((uvw >= 0.0) & (uvw < 1.0), axis=-1)
+    flat = (idx[..., 0] * res + idx[..., 1]) * res + idx[..., 2]
+    vals = jnp.take(grid.reshape(-1), flat, axis=0)
+    return jnp.where(inside, vals, 0.0)
+
+
+def cell_points(resolution: int, bbox, key=None):
+    """(G^3, 3) cell-center world positions, jittered within cells if a key
+    is given (so the EMA sees the whole cell volume over time)."""
+    g = resolution
+    ii = jnp.arange(g, dtype=jnp.float32)
+    zz, yy, xx = jnp.meshgrid(ii, ii, ii, indexing='ij')
+    uvw = jnp.stack([zz, yy, xx], axis=-1).reshape(-1, 3)
+    if key is None:
+        uvw = uvw + 0.5
+    else:
+        uvw = uvw + jax.random.uniform(key, uvw.shape)
+    bb_min = jnp.asarray(bbox[0], jnp.float32)
+    bb_max = jnp.asarray(bbox[1], jnp.float32)
+    return bb_min + (uvw / g) * (bb_max - bb_min)
+
+
+def update_grid(grid, sigma, decay: float):
+    """EMA-max update: grid <- max(grid * decay, sigma).
+
+    ``sigma``: (G^3,) densities evaluated at (jittered) cell points — the
+    caller runs the model (e.g. NerfModel.query_sigma at a random metadata
+    id, so over many updates the grid is conservative across frames).
+    """
+    g = grid.shape[0]
+    return jnp.maximum(grid * decay, sigma.reshape(g, g, g))
+
+
+def sample_occupancy_rays(key, origins, directions, grid, bbox,
+                          num_samples: int, near, far, n_probes: int,
+                          use_stratified_sampling: bool,
+                          floor: float = 0.01):
+    """Coarse samples from the occupancy-driven piecewise-constant PDF.
+
+    Drop-in replacement for ops.sampling.sample_along_rays (linear-depth
+    mode): probes the grid at ``n_probes`` uniform bins in [near, far] per
+    ray, forms weights occ/max(occ) + floor (the floor keeps full support so
+    thin/unseen structure is still discovered), and inverse-CDF samples
+    ``num_samples`` sorted depths.
+
+    Returns (z_vals (B, S), points (B, S, 3)).
+    """
+    batch = origins.shape[0]
+    dtype = origins.dtype
+    near = jnp.broadcast_to(jnp.asarray(near, dtype), (batch,))[:, None]
+    far = jnp.broadcast_to(jnp.asarray(far, dtype), (batch,))[:, None]
+
+    t_edges = jnp.linspace(0.0, 1.0, n_probes + 1, dtype=dtype)
+    z_edges = near * (1.0 - t_edges) + far * t_edges          # (B, M+1)
+    z_mid = 0.5 * (z_edges[:, 1:] + z_edges[:, :-1])          # (B, M)
+    probes = (origins[:, None, :]
+              + z_mid[..., None] * directions[:, None, :])    # (B, M, 3)
+    occ = grid_lookup(grid, probes, bbox)                     # (B, M)
+    peak = jnp.max(occ, axis=-1, keepdims=True)
+    weights = occ / jnp.maximum(peak, 1e-6) + floor
+
+    z_vals = piecewise_constant_pdf(key, z_edges, weights, num_samples,
+                                    use_stratified_sampling)
+    z_vals = jnp.sort(z_vals, axis=-1)
+    points = (origins[:, None, :]
+              + z_vals[..., None] * directions[:, None, :])
+    return z_vals, points

@@ -137,6 +137,19 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     parser.add_argument('--no_pallas', action='store_true',
                         help='disable the fused Pallas kernels (debug; runs '
                              'the XLA reference paths)')
+    parser.add_argument('--use_occupancy_grid', type=_str2bool,
+                        default=False,
+                        help='occupancy-grid guided coarse sampling '
+                             '(opt-in; reshapes sample placement so '
+                             'N_samples can be cut 2-4x at equal quality)')
+    parser.add_argument('--occupancy_resolution', type=int, default=64)
+    parser.add_argument('--occupancy_probes', type=int, default=64)
+    parser.add_argument('--occupancy_floor', type=float, default=0.01)
+    parser.add_argument('--occupancy_bbox', nargs=2, type=float,
+                        default=[-2.0, 2.0],
+                        help='grid bounding cube [min max] in world units')
+    parser.add_argument('--occupancy_update_every', type=int, default=16)
+    parser.add_argument('--occupancy_decay', type=float, default=0.95)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--val_check_interval', type=float, default=0.25)
@@ -188,6 +201,12 @@ def configs_from_args(args) -> tuple:
         use_original_embed=not getattr(args, 'use_nerfies_embed', False),
         compute_dtype=compute_dtype,
         use_pallas=not getattr(args, 'no_pallas', False),
+        use_occupancy_grid=getattr(args, 'use_occupancy_grid', False),
+        occupancy_resolution=getattr(args, 'occupancy_resolution', 64),
+        occupancy_probes=getattr(args, 'occupancy_probes', 64),
+        occupancy_floor=getattr(args, 'occupancy_floor', 0.01),
+        occupancy_bbox_min=getattr(args, 'occupancy_bbox', [-2.0, 2.0])[0],
+        occupancy_bbox_max=getattr(args, 'occupancy_bbox', [-2.0, 2.0])[1],
     )
     train_cfg = TrainConfig(
         loss_type=args.loss_type,
@@ -212,6 +231,8 @@ def configs_from_args(args) -> tuple:
         poly_exp=args.poly_exp,
         warp_alpha_steps=getattr(args, 'warp_alpha_steps', 80000),
         hyper_alpha_steps=getattr(args, 'hyper_alpha_steps', 10000),
+        occupancy_update_every=getattr(args, 'occupancy_update_every', 16),
+        occupancy_decay=getattr(args, 'occupancy_decay', 0.95),
         exp_name=args.exp_name,
         ckpt_path=args.ckpt_path,
         weight_path=args.weight_path,

@@ -51,6 +51,9 @@ def save_checkpoint(ckpt_dir: str, step: int, state, nerf_config=None,
         'opt_state': jax.device_get(state.opt_state),
         'step': int(step),
     }
+    occupancy = getattr(state, 'occupancy', None)
+    if occupancy is not None:
+        payload['occupancy'] = jax.device_get(occupancy)
     checkpointer = ocp.PyTreeCheckpointer()
     checkpointer.save(path, payload, force=True)
 
@@ -166,11 +169,17 @@ def restore_checkpoint(path: str, state=None):
         'opt_state': jax.device_get(state.opt_state),
         'step': 0,
     }
+    occupancy = getattr(state, 'occupancy', None)
+    if occupancy is not None:
+        template['occupancy'] = jax.device_get(occupancy)
     restored = checkpointer.restore(path, item=template)
-    return state.replace(
+    out = state.replace(
         step=np.asarray(restored['step'], np.int32),
         params=restored[MODEL_KEY],
         opt_state=restored['opt_state'])
+    if occupancy is not None and 'occupancy' in restored:
+        out = out.replace(occupancy=restored['occupancy'])
+    return out
 
 
 def extract_model_params(ckpt_path: str, model_name: str = MODEL_KEY,

@@ -39,6 +39,9 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # Optional (G, G, G) occupancy-grid density EMA (None unless
+    # NerfConfig.use_occupancy_grid; refreshed by make_occupancy_update).
+    occupancy: Any = None
 
 
 def forward_params(params):
@@ -86,8 +89,12 @@ def create_train_state(model: NerfModel, tx: optax.GradientTransformation,
     if train_cfg.optimizer == 'ranger':
         params = optax.LookaheadParams.init_synced(params)
     opt_state = tx.init(params)
+    occupancy = None
+    if model.config.use_occupancy_grid:
+        from hypernerf_tpu.ops.occupancy import init_grid
+        occupancy = init_grid(model.config.occupancy_resolution)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=opt_state)
+                      opt_state=opt_state, occupancy=occupancy)
 
 
 def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
@@ -121,7 +128,8 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
         def compute_loss(params):
             results = model.apply(
                 {'params': forward_params(params)}, rays_dict, extra_params,
-                rngs={'sampling': k_sample, 'sigma_noise': k_noise})
+                rngs={'sampling': k_sample, 'sigma_noise': k_noise},
+                occupancy_grid=state.occupancy)
             loss = loss_fn(results, rgbs)
             typ = 'fine' if 'fine' in results else 'coarse'
             batch_mse = jnp.mean((results[typ]['rgb'] - rgbs) ** 2)
@@ -137,7 +145,8 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state)
+                               opt_state=opt_state,
+                               occupancy=state.occupancy)
         metrics = {'loss': loss, 'psnr': -10.0 * jnp.log10(batch_mse)}
         return new_state, metrics
 
@@ -148,3 +157,35 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
         check_vma=False)
 
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_occupancy_update(model: NerfModel, nerf_cfg: NerfConfig,
+                          train_cfg: TrainConfig):
+    """Jitted occupancy-grid refresh: state -> state with updated grid.
+
+    Evaluates the model's own density at jittered grid-cell centers for a
+    random metadata id (folded from the step, identical on every device —
+    the grid stays replicated) and EMA-maxes it into the grid
+    (ops/occupancy.update_grid). Call every
+    TrainConfig.occupancy_update_every steps.
+    """
+    from hypernerf_tpu.ops.occupancy import cell_points, update_grid
+
+    cfg = nerf_cfg
+    bbox = ((cfg.occupancy_bbox_min,) * 3, (cfg.occupancy_bbox_max,) * 3)
+
+    def update(state: TrainState, base_rng) -> TrainState:
+        rng = jax.random.fold_in(base_rng, state.step)
+        k_jit, k_id = jax.random.split(rng)
+        pts = cell_points(cfg.occupancy_resolution, bbox, key=k_jit)
+        mid = jax.random.randint(k_id, (), 0, cfg.num_embeddings)
+        metadata_id = jnp.full((pts.shape[0], 1), mid, jnp.int32)
+        extra_params = compute_extra_params(cfg, train_cfg, state.step)
+        sigma = model.apply(
+            {'params': forward_params(state.params)}, pts, metadata_id,
+            extra_params, method=NerfModel.query_sigma)
+        grid = update_grid(state.occupancy, sigma,
+                           train_cfg.occupancy_decay)
+        return state.replace(occupancy=grid)
+
+    return jax.jit(update)

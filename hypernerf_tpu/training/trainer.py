@@ -36,6 +36,7 @@ from hypernerf_tpu.training.renderer import ImageRenderer
 from hypernerf_tpu.training.train_state import (compute_extra_params,
                                                 create_train_state,
                                                 forward_params,
+                                                make_occupancy_update,
                                                 make_train_step)
 from hypernerf_tpu.utils.logging import MetricsLogger
 from hypernerf_tpu.utils.visualization import visualize_depth
@@ -118,6 +119,9 @@ class Trainer:
 
         self.train_step = make_train_step(self.model, self.tx, nerf_cfg,
                                           train_cfg, self.mesh)
+        self.occupancy_update = (
+            make_occupancy_update(self.model, nerf_cfg, train_cfg)
+            if nerf_cfg.use_occupancy_grid else None)
         # Val/eval renders shard over the same mesh as training (the
         # reference replicates the val image per rank instead, train.py:85).
         self.renderer = ImageRenderer(self.model, chunk=train_cfg.chunk,
@@ -181,6 +185,9 @@ class Trainer:
                 jax.profiler.start_trace(os.path.join(
                     cfg.log_dir, cfg.exp_name, 'profile'))
                 profiling = True
+            if (self.occupancy_update is not None
+                    and step % cfg.occupancy_update_every == 0):
+                self.state = self.occupancy_update(self.state, self.base_rng)
             self.state, metrics = self.train_step(
                 self.state, self.all_rays, self.all_rgbs, self.base_rng)
             if profiling and step >= cfg.profile_start + cfg.profile_steps:

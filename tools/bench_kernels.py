@@ -90,11 +90,15 @@ def main():
     wp = field_pairs(base.warp_fs)
     hp = field_pairs(base.hyper_fs)
     tp = tmpl_pairs(base.tmpl_fs)
-    pts = jnp.asarray(rs.randn(P, 3), np.float32)
     cs = args.cond_samples if args.cond_samples >= 0 else S
     n_cond = R if cs else P
     emb = jnp.asarray(rs.randn(n_cond, E), np.float32)
     cond = jnp.asarray(rs.randn(n_cond, 39), np.float32)
+    origins = jnp.asarray(rs.randn(R, 3) * 0.1, np.float32)
+    dirs = jnp.asarray(rs.randn(R, 3), np.float32)
+    z = jnp.asarray(np.sort(rs.rand(R, S) * 4 + 1, -1), np.float32)
+    pts = (origins[:, None, :] + z[..., None] * dirs[:, None, :]
+           ).reshape(P, 3)
 
     def timeit(fn, *a):
         out = fn(*a)
@@ -112,7 +116,13 @@ def main():
                                      tmpl_bwd_tile=tmpl, cond_samples=cs)
 
                 def fwd(pts, emb, cond):
-                    out = fused_level(spec, pts, emb, cond, None, wp, hp, tp)
+                    if cs:
+                        out = fused_level(spec, None, emb, cond, None,
+                                          wp, hp, tp, origins=origins,
+                                          directions=dirs, z_vals=z)
+                    else:
+                        out = fused_level(spec, pts, emb, cond, None,
+                                          wp, hp, tp)
                     return out['rgb'].sum() + out['alpha'].sum()
 
                 try:
