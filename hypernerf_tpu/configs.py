@@ -41,7 +41,7 @@ class NerfConfig:
 
     # Warp field.
     use_warp: bool = True
-    warp_field_type: str = 'translation'  # 'translation' | 'se3'
+    warp_field_type: str = 'translation'  # 'translation' | 'se3' | 'quaternion'
     warp_depth: int = 6
     warp_width: int = 128
     warp_freq: int = 10  # posenc_orig freqs for the translation field
@@ -119,7 +119,8 @@ class NerfConfig:
                                            'bendy_sheet'):
             raise ValueError(
                 f'Unknown hyper_slice_method {self.hyper_slice_method!r}')
-        if self.warp_field_type not in ('translation', 'se3'):
+        if self.warp_field_type not in ('translation', 'se3',
+                                        'quaternion'):
             raise ValueError(
                 f'Unknown warp_field_type {self.warp_field_type!r}')
         if self.use_nerf_embed and not (self.use_alpha_condition

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from hypernerf_tpu.configs import NerfConfig
 from hypernerf_tpu.models.modules import GLOEmbed, HyperSheetMLP, NerfMLP
-from hypernerf_tpu.models.warping import SE3Field, TranslationField
+from hypernerf_tpu.models.warping import (QuaternionField, SE3Field,
+                                          TranslationField)
 from hypernerf_tpu.ops.posenc import posenc, posenc_orig
 from hypernerf_tpu.ops.rendering import (filter_sigma, noise_regularize,
                                          compute_depth_index,
@@ -70,7 +71,10 @@ class NerfModel(nn.Module):
                     pallas_tile=cfg.pallas_tile,
                     name='warp_field')
             else:
-                self.warp_field = SE3Field(
+                field_cls = (QuaternionField
+                             if cfg.warp_field_type == 'quaternion'
+                             else SE3Field)
+                self.warp_field = field_cls(
                     trunk_depth=cfg.warp_depth, trunk_width=cfg.warp_width,
                     min_deg=cfg.warp_min_deg, max_deg=cfg.warp_max_deg,
                     skips=cfg.skips, dtype=dtype,
@@ -301,9 +305,9 @@ class NerfModel(nn.Module):
             warp_depth=cfg.warp_depth, warp_width=cfg.warp_width,
             warp_freq=cfg.warp_freq,
             se3_min_deg=cfg.warp_min_deg, se3_max_deg=cfg.warp_max_deg,
-            # Always thread the warp window for SE(3) so warp_alpha is
-            # honored whenever the caller sets it (ones = fully on).
-            warp_windowed=cfg.warp_field_type == 'se3',
+            # Always thread the warp window for the SE(3)/quaternion trunks
+            # so warp_alpha is honored whenever set (ones = fully on).
+            warp_windowed=cfg.warp_field_type in ('se3', 'quaternion'),
             hyper_depth=cfg.hyper_sheet_depth,
             hyper_width=cfg.hyper_sheet_width,
             hyper_sheet_freq=cfg.hyper_sheet_freq,
@@ -331,7 +335,7 @@ class NerfModel(nn.Module):
             alphas = [extra_params.get('nerf_alpha'),
                       extra_params.get('hyper_alpha')]
             tmpl_scales = encoding_scales(spec.tmpl_enc_segments, alphas)
-        if cfg.warp_field_type == 'se3':
+        if cfg.warp_field_type in ('se3', 'quaternion'):
             from hypernerf_tpu.ops.pallas.fused_se3 import se3_params_to_list
             warp_pairs = se3_params_to_list(
                 self.warp_field.variables['params'])

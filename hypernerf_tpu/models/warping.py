@@ -153,9 +153,8 @@ class SE3Field(nn.Module):
                 embed.reshape(-1, embed.shape[-1]),
                 se3_params_to_list(self.variables['params']),
                 enc_scales=scales)
-            transform = rigid_body.exp_se3_from_wv(w, v)
-            warped = rigid_body.transform_points(
-                transform, points.reshape(-1, 3).astype(jnp.float32))
+            warped = self._retract(w, v, points.reshape(-1, 3)
+                                   .astype(jnp.float32))
             return warped.reshape(points.shape)
         points_feat = posenc(points, self.min_deg, self.max_deg,
                              use_identity=self.use_posenc_identity, alpha=alpha)
@@ -167,8 +166,12 @@ class SE3Field(nn.Module):
         trunk_output = self.trunk(inputs)
         w = self.w_net(trunk_output).astype(jnp.float32)
         v = self.v_net(trunk_output).astype(jnp.float32)
+        return self._retract(w, v, points.astype(jnp.float32))
+
+    def _retract(self, w, v, points):
+        """Map raw (w, v) head outputs + points to warped points."""
         transform = rigid_body.exp_se3_from_wv(w, v)
-        return rigid_body.transform_points(transform, points.astype(jnp.float32))
+        return rigid_body.transform_points(transform, points)
 
     def __call__(self, points, embed, extra_params=None,
                  return_jacobian: bool = False):
@@ -184,3 +187,19 @@ class SE3Field(nn.Module):
                 flat_pts, flat_embed)
             out['jacobian'] = jac.reshape(*points.shape[:-1], 3, 3)
         return out
+
+
+class QuaternionField(SE3Field):
+    """Rotation (quaternion exp) + translation warp field.
+
+    Same trunk / w / v heads and fused TPU kernel as SE3Field — only the
+    retraction differs: the rotation vector is exponentiated through a unit
+    quaternion (ops/quaternion.py) and the translation is applied AFTER the
+    rotation, with no screw coupling. A beyond-reference variant (the
+    reference ships translation and SE(3) only, warping.py:275-286); the
+    ROADMAP's quaternion-exp warp.
+    """
+
+    def _retract(self, w, v, points):
+        from hypernerf_tpu.ops import quaternion
+        return quaternion.quat_warp_vec(w, v, points)

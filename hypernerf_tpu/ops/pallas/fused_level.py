@@ -44,9 +44,11 @@ def _rup(x: int, m: int) -> int:
 class FusedLevelSpec(NamedTuple):
     """Static config of the fused level (hashable)."""
     embed_ch: int = 8
-    # warp field: 'translation' (posenc_orig ++ embed -> MLP -> points+delta)
-    # or 'se3' (Nerfies posenc [++ embed] -> trunk -> w/v heads -> in-kernel
-    # screw exponential, rigid_body.se3_warp_vec).
+    # warp field: 'translation' (posenc_orig ++ embed -> MLP -> points+delta),
+    # 'se3' (Nerfies posenc [++ embed] -> trunk -> w/v heads -> in-kernel
+    # screw exponential, rigid_body.se3_warp_vec), or 'quaternion' (same
+    # trunk/heads, quaternion-exp rotation + uncoupled translation,
+    # quaternion.quat_warp_vec).
     warp_type: str = 'translation'
     warp_depth: int = 6
     warp_width: int = 128
@@ -99,7 +101,7 @@ class FusedLevelSpec(NamedTuple):
 
     @property
     def warp_fs(self):
-        if self.warp_type == 'se3':
+        if self.warp_type in ('se3', 'quaternion'):
             return fs3.FusedSE3Spec(
                 embed_ch=self.embed_ch, use_metadata=self.se3_use_metadata,
                 min_deg=self.se3_min_deg, max_deg=self.se3_max_deg,
@@ -151,8 +153,10 @@ class FusedLevelSpec(NamedTuple):
 
     @property
     def n_warp_layers(self):
-        # translation: hidden + logit; se3: hidden + trunk logit + w + v.
-        return self.warp_depth + (3 if self.warp_type == 'se3' else 1)
+        # translation: hidden + logit; se3/quaternion: hidden + trunk
+        # logit + w + v.
+        return self.warp_depth + (3 if self.warp_type in ('se3', 'quaternion')
+                                  else 1)
 
     @property
     def n_hyper_layers(self):
@@ -216,16 +220,31 @@ def _write_ray_grads(spec, x_ref, od_exp, d_pts, d_emb,
         demb, ((0, 0), (0, s.emb_pad - s.embed_ch))).astype(demb_ref.dtype)
 
 
+def _wv_retraction(spec: FusedLevelSpec):
+    """The (w, v, points) -> warped retraction for trunk-head warp types.
+
+    Pure jnp vector forms (traceable and vjp-able inside the kernels):
+    screw exponential for 'se3', quaternion-exp rotation + translation for
+    'quaternion'.
+    """
+    if spec.warp_type == 'quaternion':
+        from hypernerf_tpu.ops import quaternion
+        return quaternion.quat_warp_vec
+    from hypernerf_tpu.ops import rigid_body
+    return rigid_body.se3_warp_vec
+
+
 def _warp_fwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
                    warp_scales=None):
-    """(warped points, fwd stash) for one tile (translation or SE(3))."""
+    """(warped points, fwd stash) for one tile (translation, SE(3), or
+    quaternion)."""
     s = spec
-    if s.warp_type == 'se3':
-        from hypernerf_tpu.ops import rigid_body
+    if s.warp_type in ('se3', 'quaternion'):
         vals = fs3._forward_tile(s.warp_fs, raw_f, warp_wbs,
                                  scales=warp_scales)
         w_out, v_out = vals[-2], vals[-1]
-        return rigid_body.se3_warp_vec(w_out[:, :3], v_out[:, :3], pts), vals
+        retract = _wv_retraction(s)
+        return retract(w_out[:, :3], v_out[:, :3], pts), vals
     vals = ff._forward_tile(s.warp_fs, raw_f, warp_wbs)
     return pts + vals[-1][:, :3], vals
 
@@ -306,15 +325,13 @@ def _warp_bwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs, d_warped,
     """
     s = spec
     t = pts.shape[0]
-    if s.warp_type == 'se3':
+    if s.warp_type in ('se3', 'quaternion'):
         import jax as _jax
-
-        from hypernerf_tpu.ops import rigid_body
         vals = fwd_vals if fwd_vals is not None else fs3._forward_tile(
             s.warp_fs, raw_f, warp_wbs, scales=warp_scales)
         w3 = vals[-2][:, :3]
         v3 = vals[-1][:, :3]
-        _, vjp = _jax.vjp(rigid_body.se3_warp_vec, w3, v3, pts)
+        _, vjp = _jax.vjp(_wv_retraction(s), w3, v3, pts)
         d_w3, d_v3, d_pts_direct = vjp(d_warped)
         g_wv = jnp.concatenate(
             [d_w3, d_v3, jnp.zeros((t, fs3.OUT_PAD - 6), jnp.float32)],
@@ -441,7 +458,7 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
 
 def _pad_all_params(spec: FusedLevelSpec, warp_pairs, hyper_pairs,
                     tmpl_pairs):
-    if spec.warp_type == 'se3':
+    if spec.warp_type in ('se3', 'quaternion'):
         warp_padded = fs3._pad_params(spec.warp_fs, warp_pairs)
     else:
         warp_padded = ff._pad_params(spec.warp_fs, warp_pairs)
@@ -800,8 +817,9 @@ def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
         'embed too wide for RAW_PAD'
     assert (tmpl_enc_scales is not None) == (not s.use_original_embed)
     assert (warp_enc_scales is not None) == s.warp_windowed
-    assert not (s.warp_windowed and s.warp_type != 'se3'), \
-        'warp window applies to the SE(3) encoding only'
+    assert not (s.warp_windowed
+                and s.warp_type not in ('se3', 'quaternion')), \
+        'warp window applies to the SE(3)/quaternion encoding only'
     import math as _math
     if s.cond_samples:
         assert points is None and z_vals is not None

@@ -91,6 +91,56 @@ def from_axis_angle(axis, angle):
     return jnp.concatenate([axis * jnp.sin(half), jnp.cos(half)], axis=-1)
 
 
+def _cross3(a, b):
+    """Cross product on (..., 3) via column slices (no (.., 4) concats —
+    Mosaic rejects jnp.cross / quaternion-width concatenates in kernels)."""
+    a0, a1, a2 = a[..., 0:1], a[..., 1:2], a[..., 2:3]
+    b0, b1, b2 = b[..., 0:1], b[..., 1:2], b[..., 2:3]
+    return jnp.concatenate([a1 * b2 - a2 * b1,
+                            a2 * b0 - a0 * b2,
+                            a0 * b1 - a1 * b0], axis=-1)
+
+
+def quat_warp_vec(w, v, points, small_angle: float = 1e-6):
+    """Quaternion rotation + translation warp: R(exp q(w)) p + v.
+
+    The quaternion counterpart of rigid_body.se3_warp_vec: ``w`` is a raw
+    rotation vector (angle |w|, exponentiated through the unit quaternion
+    ``from_axis_angle``), ``v`` a raw translation applied AFTER the rotation
+    (no screw coupling — the difference from SE(3)). Smooth at w -> 0 (the
+    near-zero-init regime): degenerates to points + v.
+
+    The rotation is evaluated in Rodrigues vector form — identical to
+    conjugation by the unit quaternion (rotate(from_axis_angle(axis, θ), p))
+    but built only from (..., 3)/(..., 1) ops, so it lowers inside Pallas
+    kernels (Mosaic rejects the (..., 4) quaternion concats);
+    tests/test_quaternion.py pins it against scipy's quaternion rotation.
+
+    Args:
+      w: (..., 3) raw rotation-vector outputs.
+      v: (..., 3) raw translations.
+      points: (..., 3).
+
+    Returns:
+      (..., 3) warped points.
+    """
+    # Clamp BEFORE the sqrt: sqrt'(0) is inf and jnp.where evaluates both
+    # branches under autodiff, so the gradient must never see sqrt(0).
+    sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    small_sq = small_angle * small_angle
+    safe = jnp.sqrt(jnp.where(sq < small_sq, small_sq, sq))
+    axis = w / safe
+    sin_t, cos_t = jnp.sin(safe), jnp.cos(safe)
+    # R p = p + sin(t) (a x p) + (1 - cos(t)) (a x (a x p)) — the residual
+    # Rodrigues form (identity + small terms): numerically tighter at the
+    # near-zero-init regime than p cos(t) + ..., for values AND for the
+    # in-kernel VJP.
+    axp = _cross3(axis, points)
+    rp = points + sin_t * axp + (1.0 - cos_t) * _cross3(axis, axp)
+    warped = rp + v
+    return jnp.where(sq <= small_sq, points + v, warped)
+
+
 def to_rotation_matrix(q):
     """Unit quaternion -> (..., 3, 3) rotation matrix."""
     x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]

@@ -101,7 +101,7 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
                         help='whether to use warping (enables the warp '
                              'embedding too)')
     parser.add_argument('--warp_field', type=str, default='translation',
-                        choices=['translation', 'se3'],
+                        choices=['translation', 'se3', 'quaternion'],
                         help='warp field type (se3 = quaternion/screw '
                              'exp-map field)')
     parser.add_argument('--slice_method', type=str, default='bendy_sheet',

@@ -1,5 +1,6 @@
 """Unit tests for quaternion math (ops/quaternion.py)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.spatial.transform import Rotation
@@ -73,3 +74,41 @@ def test_from_axis_angle():
                                        jnp.asarray([np.pi / 2])))
     want = Rotation.from_rotvec([[0, 0, np.pi / 2]]).as_quat()
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_quat_warp_vec_matches_matrix_path():
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(64, 3) * 0.5, jnp.float32)
+    v = jnp.asarray(rs.randn(64, 3) * 0.2, jnp.float32)
+    pts = jnp.asarray(rs.randn(64, 3), jnp.float32)
+    got = np.asarray(q.quat_warp_vec(w, v, pts))
+    # Reference: rotation matrix from the same axis-angle, then translate.
+    theta = np.linalg.norm(np.asarray(w), axis=-1)
+    want = Rotation.from_rotvec(np.asarray(w)).apply(np.asarray(pts)) \
+        + np.asarray(v)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert theta.max() > 0.1  # non-trivial rotations exercised
+
+
+def test_quat_warp_vec_small_angle():
+    v = jnp.asarray([[0.1, -0.2, 0.3]], jnp.float32)
+    pts = jnp.asarray([[1.0, 2.0, 3.0]], jnp.float32)
+    w0 = jnp.zeros((1, 3), jnp.float32)
+    got = np.asarray(q.quat_warp_vec(w0, v, pts))
+    np.testing.assert_allclose(got, np.asarray(pts + v), rtol=1e-6)
+    # Gradients stay finite at the zero-rotation init regime.
+    g = jax.grad(lambda w: jnp.sum(q.quat_warp_vec(w, v, pts)))(w0)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_quat_warp_differs_from_se3():
+    # Same (w, v): SE(3) couples translation through the screw; the
+    # quaternion field applies it directly after rotation.
+    from hypernerf_tpu.ops import rigid_body
+    rs = np.random.RandomState(1)
+    w = jnp.asarray(rs.randn(8, 3) * 0.8, jnp.float32)
+    v = jnp.asarray(rs.randn(8, 3) * 0.5, jnp.float32)
+    pts = jnp.asarray(rs.randn(8, 3), jnp.float32)
+    quat = np.asarray(q.quat_warp_vec(w, v, pts))
+    se3 = np.asarray(rigid_body.se3_warp_vec(w, v, pts))
+    assert np.abs(quat - se3).max() > 1e-3

@@ -132,6 +132,21 @@ def main():
                                              use_pallas_level=True))],
             check_grads=True)
 
+    # Quaternion warp (same fused trunk, quaternion-exp retraction). Grad
+    # comparison runs mid-anneal like the se3 group: with the encoding fully
+    # on, bf16 phase noise in the 2^9-frequency bands dominates BOTH paths'
+    # gradients (the fully-on flagship forward diff is 0.0048 for the same
+    # reason), which is tolerance noise, not a kernel defect.
+    quat = dataclasses.replace(base, warp_field_type='quaternion',
+                               use_original_embed=False)
+    m = NerfModel(quat)
+    quat_vars = m.init({'params': key, 'sampling': key}, rd)
+    compare('quaternion+anneal', quat, quat_vars, mid_alphas,
+            [('quaternion fused level kernel', dict(use_pallas=True,
+                                                    use_pallas_fields=True,
+                                                    use_pallas_level=True))],
+            check_grads=True)
+
     sys.exit(1 if failures else 0)
 
 

@@ -35,8 +35,12 @@ def main():
                         help='train a static NeRF instead (ablation)')
     parser.add_argument('--mode', type=str, default=None,
                         choices=[None, 'hypernerf', 'static', 'se3',
-                                 'plane', 'anneal'],
+                                 'plane', 'anneal', 'quaternion'],
                         help='model variant to validate')
+    parser.add_argument('--occupancy', action='store_true',
+                        help='enable occupancy-grid guided coarse sampling')
+    parser.add_argument('--N_samples', type=int, default=64)
+    parser.add_argument('--N_importance', type=int, default=64)
     parser.add_argument('--report', type=str, default=None,
                         help='append a JSON result line to this file')
     args = parser.parse_args()
@@ -53,12 +57,20 @@ def main():
     from hypernerf_tpu.training.trainer import Trainer
 
     mode = args.mode or ('static' if args.static else 'hypernerf')
-    common = dict(num_coarse_samples=64, num_fine_samples=64)
+    common = dict(num_coarse_samples=args.N_samples,
+                  num_fine_samples=args.N_importance)
+    if args.occupancy:
+        # The synthetic LLFF scene lives in NDC; the unit cube covers it.
+        common.update(use_occupancy_grid=True,
+                      occupancy_bbox_min=-1.5, occupancy_bbox_max=1.5)
     if mode == 'static':
         nerf_cfg = NerfConfig(use_warp=False, hyper_slice_method='none',
                               **common)
     elif mode == 'se3':
         nerf_cfg = NerfConfig(use_warp=True, warp_field_type='se3',
+                              hyper_slice_method='bendy_sheet', **common)
+    elif mode == 'quaternion':
+        nerf_cfg = NerfConfig(use_warp=True, warp_field_type='quaternion',
                               hyper_slice_method='bendy_sheet', **common)
     elif mode == 'plane':
         nerf_cfg = NerfConfig(use_warp=True,
@@ -90,7 +102,8 @@ def main():
     wall = time.time() - t0
     val = trainer.validate(step=args.steps, log_images=False)
     result = {
-        'mode': mode,
+        'mode': mode + ('+occ' if args.occupancy else ''),
+        'samples': (args.N_samples, args.N_importance),
         'steps': args.steps,
         'batch_size': args.batch_size,
         'wall_clock_s': round(wall, 1),
