@@ -282,6 +282,12 @@ class NerfModel(nn.Module):
         # tile to hold whole rays.
         n_samples = batch_shape[-1]
         bwd_tile = min(cfg.pallas_tile, cfg.pallas_bwd_tile)
+        if cfg.warp_field_type != 'translation':
+            # The SE(3)/quaternion fields backward holds the trunk stash
+            # PLUS the in-kernel retraction VJP residuals — ~2x the
+            # translation field's live set (30M at tile 1024, over the 16M
+            # scoped-VMEM limit).
+            bwd_tile = min(bwd_tile, 256)
         tmpl_bwd_tile = FusedLevelSpec._field_defaults['tmpl_bwd_tile']
         have_rays = (origins is not None and directions is not None
                      and z_vals is not None)

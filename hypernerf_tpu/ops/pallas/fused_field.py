@@ -259,7 +259,8 @@ def _forward_tile(spec: FusedFieldSpec, x_raw, wbs, scales=None):
     for i in range(spec.depth):
         w, b = wbs[i]
         ins.append(h)
-        h = jnp.maximum(_dot(h, w) + b.astype(jnp.float32), 0.0).astype(dt)
+        from hypernerf_tpu.ops.pallas.fused_mlp import _dot_act
+        h = _dot_act(h, w, b, dt)
         outs.append(h)
         if i in spec.skips:
             h = jnp.concatenate([h, enc], axis=-1)

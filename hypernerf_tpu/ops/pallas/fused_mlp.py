@@ -221,6 +221,22 @@ def _dot(a, w):
                                preferred_element_type=jnp.float32)
 
 
+def _dot_act(h, w, b, dt, relu: bool = True):
+    """Hidden layer: [relu](h @ w + b) rounded to the compute dtype.
+
+    fp32 accumulation throughout: Mosaic requires a 32-bit matmul
+    accumulator ('Expected matmul acc to be 32-bit' when asked for a bf16
+    output), so the bias-add/relu run in fp32 and round once at the end —
+    the same semantics the kernels always had.
+    """
+    out = jax.lax.dot_general(h, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = out + b.astype(jnp.float32)
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.astype(dt)
+
+
 def _dot_t(g, w):
     """g @ w^T via contraction on the output dim."""
     return jax.lax.dot_general(g, w, (((1,), (1,)), ((), ())),
@@ -305,16 +321,16 @@ def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs,
     for i in range(s.trunk_depth):
         w, b = wbs[idx]; idx += 1
         stash['trunk_ins'].append(h)
-        h = jnp.maximum(_dot(h, w) + b.astype(jnp.float32), 0.0).astype(bf)
+        h = _dot_act(h, w, b, bf)
         stash['trunk_outs'].append(h)
         if i in s.skips:
             h = jnp.concatenate([h, x], axis=-1)
     w, b = wbs[idx]; idx += 1
     stash['tl_in'] = h
-    hl = jnp.maximum(_dot(h, w) + b.astype(jnp.float32), 0.0).astype(bf)
+    hl = _dot_act(h, w, b, bf)
     stash['hl'] = hl
     w, b = wbs[idx]; idx += 1
-    bneck = (_dot(hl, w) + b.astype(jnp.float32)).astype(bf)
+    bneck = _dot_act(hl, w, b, bf, relu=False)
     stash['bneck'] = bneck
 
     a_in = bneck if alphac is None else jnp.concatenate([bneck, alphac], -1)
@@ -328,7 +344,7 @@ def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs,
     for j in range(s.rgb_depth):
         w, b = wbs[idx]; idx += 1
         stash['rgb_ins'].append(g)
-        g = jnp.maximum(_dot(g, w) + b.astype(jnp.float32), 0.0).astype(bf)
+        g = _dot_act(g, w, b, bf)
         stash['rgb_outs'].append(g)
         if j in s.skips:
             g = jnp.concatenate([g, r_in], axis=-1)

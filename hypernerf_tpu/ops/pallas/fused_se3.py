@@ -177,13 +177,15 @@ def _forward_tile(spec: FusedSE3Spec, x_raw, wbs, scales=None):
     for i in range(s.depth):
         w, b = wbs[i]
         ins.append(h)
-        h = jnp.maximum(_dot(h, w) + b.astype(jnp.float32), 0.0).astype(dt)
+        from hypernerf_tpu.ops.pallas.fused_mlp import _dot_act
+        h = _dot_act(h, w, b, dt)
         outs.append(h)
         if i in s.skips:
             h = jnp.concatenate([h, enc], axis=-1)
     w, b = wbs[s.depth]
     logit_in = h
-    trunk = (_dot(h, w) + b.astype(jnp.float32)).astype(dt)  # no activation
+    from hypernerf_tpu.ops.pallas.fused_mlp import _dot_act
+    trunk = _dot_act(h, w, b, dt, relu=False)  # no activation
     w_w, w_b = wbs[s.depth + 1]
     v_w, v_b = wbs[s.depth + 2]
     w_out = _dot(trunk, w_w) + w_b.astype(jnp.float32)
