@@ -127,6 +127,13 @@ class NerfConfig:
                                         or self.use_rgb_condition):
             raise ValueError('use_nerf_embed requires use_alpha_condition '
                              'or use_rgb_condition.')
+        if self.use_occupancy_grid and self.use_linear_disparity:
+            # The occupancy probe bins are parameterized in linear depth
+            # (ops/occupancy.sample_occupancy_rays); silently ignoring the
+            # disparity flag would change sampling semantics underfoot.
+            raise ValueError('use_occupancy_grid parameterizes probe bins '
+                             'in linear depth and does not support '
+                             'use_linear_disparity.')
 
     @property
     def has_hyper(self) -> bool:

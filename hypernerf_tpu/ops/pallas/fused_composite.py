@@ -379,7 +379,9 @@ def fused_composite(spec: CompositeSpec, packed, z_vals, dirs, noise=None):
     packed = packed.astype(jnp.float32)
     if b_pad != b:
         packed = jnp.pad(packed, ((0, (b_pad - b) * s), (0, 0)))
-    # Padded rays: z=1 keeps dists/cumprod finite; outputs are sliced off.
+    # Padded rays are zero-padded: padded dnorm is 0, which zeroes every
+    # delta (dists = dz * dnorm), so alpha=0 and the cumprod stays finite;
+    # outputs are sliced off below.
     z_in = pad_rays(z_vals.astype(jnp.float32))
     noise_in = pad_rays(noise.astype(jnp.float32)) if sp.has_noise else None
     outs, weights = _fused(sp, packed, z_in, pad_rays(dnorm), noise_in)

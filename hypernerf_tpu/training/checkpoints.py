@@ -162,15 +162,19 @@ def restore_checkpoint(path: str, state=None):
     """
     path = os.path.abspath(path)
     checkpointer = ocp.PyTreeCheckpointer()
+    raw = checkpointer.restore(path)
     if state is None:
-        return checkpointer.restore(path)
+        return raw
     template = {
         MODEL_KEY: jax.device_get(state.params),
         'opt_state': jax.device_get(state.opt_state),
         'step': 0,
     }
     occupancy = getattr(state, 'occupancy', None)
-    if occupancy is not None:
+    # Only ask for 'occupancy' when the checkpoint actually contains it:
+    # resuming a run that newly enables use_occupancy_grid from an older
+    # checkpoint keeps the state's fresh grid instead of failing restore.
+    if occupancy is not None and isinstance(raw, dict) and 'occupancy' in raw:
         template['occupancy'] = jax.device_get(occupancy)
     restored = checkpointer.restore(path, item=template)
     out = state.replace(

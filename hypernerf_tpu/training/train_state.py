@@ -98,12 +98,20 @@ def create_train_state(model: NerfModel, tx: optax.GradientTransformation,
 
 
 def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
-                    nerf_cfg: NerfConfig, train_cfg: TrainConfig, mesh):
+                    nerf_cfg: NerfConfig, train_cfg: TrainConfig, mesh,
+                    explicit_batch: bool = False):
     """Build the jitted, shard_map'd train step.
 
     Returns step_fn(state, all_rays, all_rgbs, base_rng) -> (state, metrics).
     ``all_rays``/``all_rgbs`` are the full replicated dataset buffers; each
     device samples its own batch slice on device.
+
+    With ``explicit_batch=True`` the rays/rgbs arguments ARE the global
+    batch, sharded over the mesh's data axis (no in-kernel draw). Because
+    the per-device loss is a mean over an equal shard, ``lax.pmean`` makes
+    the update identical to a single-device step on the same global batch —
+    the ddp_sharded contract (/root/reference/train.py:229), asserted by
+    tests/test_train.py.
     """
     n_devices = mesh.devices.size
     if train_cfg.batch_size % n_devices:
@@ -118,10 +126,13 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
         rng = jax.random.fold_in(jax.random.fold_in(base_rng, state.step), axis)
         k_idx, k_sample, k_noise = jax.random.split(rng, 3)
 
-        n_total = all_rays.shape[0]
-        idx = jax.random.randint(k_idx, (per_device_batch,), 0, n_total)
-        rays = jnp.take(all_rays, idx, axis=0)
-        rgbs = jnp.take(all_rgbs, idx, axis=0)
+        if explicit_batch:
+            rays, rgbs = all_rays, all_rgbs
+        else:
+            n_total = all_rays.shape[0]
+            idx = jax.random.randint(k_idx, (per_device_batch,), 0, n_total)
+            rays = jnp.take(all_rays, idx, axis=0)
+            rgbs = jnp.take(all_rgbs, idx, axis=0)
         rays_dict = prepare_ray_dict(rays)
         extra_params = compute_extra_params(nerf_cfg, train_cfg, state.step)
 
@@ -150,9 +161,10 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
         metrics = {'loss': loss, 'psnr': -10.0 * jnp.log10(batch_mse)}
         return new_state, metrics
 
+    batch_spec = P(DATA_AXIS) if explicit_batch else P()
     sharded = shard_map(
         device_step, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), batch_spec, batch_spec, P()),
         out_specs=(P(), P()),
         check_vma=False)
 

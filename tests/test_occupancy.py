@@ -134,6 +134,40 @@ def test_train_step_with_occupancy_grid():
     assert np.isfinite(float(jnp.sum(out['fine']['rgb'])))
 
 
+def test_config_rejects_occupancy_with_linear_disparity():
+    import pytest
+    with pytest.raises(ValueError, match='linear depth'):
+        NerfConfig(use_occupancy_grid=True, use_linear_disparity=True)
+
+
+def test_restore_without_saved_occupancy_keeps_fresh_grid(tmp_path):
+    """Resuming with newly-enabled use_occupancy_grid from an older
+    checkpoint (saved without a grid) must keep the state's fresh grid."""
+    from hypernerf_tpu.training import checkpoints as ckpt_lib
+    from hypernerf_tpu.training.optimizers import get_optimizer
+    from hypernerf_tpu.training.train_state import create_train_state
+
+    nerf_cfg, train_cfg = _tiny_cfgs()
+    no_occ_cfg = dataclasses.replace(nerf_cfg, use_occupancy_grid=False)
+    rays = _rays(16)
+    tx = get_optimizer(train_cfg, steps_per_epoch=10)
+    old_state = create_train_state(NerfModel(no_occ_cfg), tx, train_cfg,
+                                   jax.random.PRNGKey(0), rays[:8])
+    assert old_state.occupancy is None
+    path = ckpt_lib.save_checkpoint(str(tmp_path), 7, old_state,
+                                    nerf_config=no_occ_cfg,
+                                    train_config=train_cfg)
+
+    new_state = create_train_state(NerfModel(nerf_cfg), tx, train_cfg,
+                                   jax.random.PRNGKey(0), rays[:8])
+    fresh = new_state.occupancy + 1.25
+    new_state = new_state.replace(occupancy=fresh)
+    restored = ckpt_lib.restore_checkpoint(path, new_state)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(np.asarray(restored.occupancy),
+                               np.asarray(fresh))
+
+
 def test_checkpoint_roundtrip_with_occupancy(tmp_path):
     from hypernerf_tpu.training import checkpoints as ckpt_lib
     from hypernerf_tpu.training.optimizers import get_optimizer

@@ -68,6 +68,40 @@ def test_train_step_runs_on_8_device_mesh():
         assert np.isfinite(leaf).all()
 
 
+def test_multi_device_step_equals_single_device():
+    """The ddp_sharded contract (/root/reference/train.py:229): an 8-device
+    step with pmean on the identical global batch produces the same loss and
+    parameter update as a 1-device step."""
+    cfg = tiny_nerf_config(use_stratified_sampling=False, noise_std=None)
+    tc = TrainConfig(batch_size=64, lr=1e-3)
+    model = NerfModel(cfg)
+    tx = get_optimizer(tc, steps_per_epoch=100)
+    rays, rgbs = _smooth_ray_batch(64)
+    rng = jax.random.PRNGKey(1)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = create_mesh(num_devices=n_dev)
+        state = create_train_state(model, tx, tc, jax.random.PRNGKey(0),
+                                   rays[:8])
+        state = replicate(mesh, state)
+        step_fn = make_train_step(model, tx, cfg, tc, mesh,
+                                  explicit_batch=True)
+        from hypernerf_tpu.parallel.mesh import shard_batch
+        b_rays = shard_batch(mesh, jnp.asarray(rays))
+        b_rgbs = shard_batch(mesh, jnp.asarray(rgbs))
+        state, metrics = step_fn(state, b_rays, b_rgbs, rng)
+        results[n_dev] = (jax.device_get(metrics['loss']),
+                          jax.device_get(state.params))
+
+    loss1, params1 = results[1]
+    loss8, params8 = results[8]
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(params1), jax.tree.leaves(params8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_batch_size_must_divide_devices():
     mesh = create_mesh()
     cfg = tiny_nerf_config()
