@@ -10,17 +10,43 @@ metric config) on whatever accelerator is attached, and prints ONE JSON line:
 
 Baseline: the reference's implied 4.1k rays/s on a GTX 2080Ti
 (/root/repo/BASELINE.md, derived from /root/reference/Readme.md:29-41).
+
+``--mode`` reproduces every showcased variant (docs/VALIDATION.md) as a
+one-liner: flagship (default) | se3 | quaternion | anneal (windowed Nerfies
+encoding) | occupancy (grid-guided 32+32 fast preset, refresh amortized
+into the timed loop).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 BASELINE_RAYS_PER_SEC = 4100.0  # 1x 2080Ti, BASELINE.md
 
+MODES = ('flagship', 'se3', 'quaternion', 'anneal', 'occupancy')
+
+
+def mode_overrides(mode: str) -> dict:
+    if mode == 'se3':
+        return dict(warp_field_type='se3')
+    if mode == 'quaternion':
+        return dict(warp_field_type='quaternion')
+    if mode == 'anneal':
+        return dict(use_original_embed=False)
+    if mode == 'occupancy':
+        return dict(use_occupancy_grid=True,
+                    num_coarse_samples=32, num_fine_samples=32)
+    return {}
+
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--mode', choices=MODES, default='flagship')
+    parser.add_argument('--batch_per_chip', type=int, default=8192)
+    args = parser.parse_args()
+
     from hypernerf_tpu.utils.platform import apply_platform_overrides
     apply_platform_overrides()
 
@@ -36,8 +62,8 @@ def main():
                                                     make_train_step)
 
     n_chips = len(jax.devices())
-    batch_size = 8192 * n_chips
-    cfg = NerfConfig(
+    batch_size = args.batch_per_chip * n_chips
+    cfg_kwargs = dict(
         num_embeddings=100,
         num_coarse_samples=64,
         num_fine_samples=64,
@@ -47,6 +73,8 @@ def main():
         noise_std=1.0,
         compute_dtype='bfloat16',
     )
+    cfg_kwargs.update(mode_overrides(args.mode))
+    cfg = NerfConfig(**cfg_kwargs)
     train_cfg = TrainConfig(batch_size=batch_size, lr=5e-4)
 
     mesh = create_mesh()
@@ -74,9 +102,17 @@ def main():
     step_fn = make_train_step(model, tx, cfg, train_cfg, mesh)
     rng = jax.random.PRNGKey(1)
 
+    update_fn = None
+    if cfg.use_occupancy_grid:
+        from hypernerf_tpu.training.train_state import make_occupancy_update
+        update_fn = make_occupancy_update(model, cfg, train_cfg)
+        update_every = train_cfg.occupancy_update_every
+
     # Warmup: compile + 3 steps. (device_get, not block_until_ready: the
     # remote-tunnel backend can report ready before execution completes, so
     # force a host readback of a value at the end of the dependency chain.)
+    if update_fn is not None:
+        state = update_fn(state, rng)
     state, metrics = step_fn(state, all_rays, all_rgbs, rng)
     jax.device_get(metrics['loss'])
     for _ in range(3):
@@ -85,7 +121,11 @@ def main():
 
     n_steps = 20
     t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for i in range(n_steps):
+        # Amortize the grid refresh at its real training cadence so the
+        # occupancy number is honest end-to-end throughput.
+        if update_fn is not None and i % update_every == 0:
+            state = update_fn(state, rng)
         state, metrics = step_fn(state, all_rays, all_rgbs, rng)
     jax.device_get(metrics['loss'])
     jax.device_get(jax.tree.leaves(state.params)[0])

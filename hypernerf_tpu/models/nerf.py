@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from hypernerf_tpu.configs import NerfConfig
 from hypernerf_tpu.models.modules import GLOEmbed, HyperSheetMLP, NerfMLP
+from hypernerf_tpu.ops import at_least_f32
 from hypernerf_tpu.models.warping import (QuaternionField, SE3Field,
                                           TranslationField)
 from hypernerf_tpu.ops.posenc import posenc, posenc_orig
@@ -208,14 +209,14 @@ class NerfModel(nn.Module):
                 and jax.default_backend() == 'tpu'):
             raw = self._query_template_fused(
                 level, points, alpha_condition, rgb_condition, extra_params)
-            raw_alpha = raw['alpha'].astype(jnp.float32)
+            raw_alpha = at_least_f32(raw['alpha'])
             noise_key = None
             if (stratified and cfg.noise_std is not None
                     and cfg.noise_std > 0.0 and self.has_rng('sigma_noise')):
                 noise_key = self.make_rng('sigma_noise')
             raw_alpha = noise_regularize(noise_key, raw_alpha, cfg.noise_std,
                                          stratified)
-            rgb = nn.sigmoid(raw['rgb'].astype(jnp.float32))
+            rgb = nn.sigmoid(at_least_f32(raw['rgb']))
             sigma = nn.softplus(jnp.squeeze(raw_alpha, axis=-1))
             return rgb, sigma
 
@@ -242,7 +243,7 @@ class NerfModel(nn.Module):
         raw = mlp(points_feat, alpha_condition=alpha_condition,
                   rgb_condition=rgb_condition)
 
-        raw_alpha = raw['alpha'].astype(jnp.float32)
+        raw_alpha = at_least_f32(raw['alpha'])
         noise_key = None
         if (stratified and cfg.noise_std is not None and cfg.noise_std > 0.0
                 and self.has_rng('sigma_noise')):
@@ -250,7 +251,7 @@ class NerfModel(nn.Module):
         raw_alpha = noise_regularize(noise_key, raw_alpha, cfg.noise_std,
                                      stratified)
 
-        rgb = nn.sigmoid(raw['rgb'].astype(jnp.float32))
+        rgb = nn.sigmoid(at_least_f32(raw['rgb']))
         sigma = nn.softplus(jnp.squeeze(raw_alpha, axis=-1))
         return rgb, sigma
 
@@ -281,13 +282,12 @@ class NerfModel(nn.Module):
         # broadcasts or the (P, 3) points ever reach HBM. Requires every
         # tile to hold whole rays.
         n_samples = batch_shape[-1]
+        # All warp types share the pallas_bwd_tile budget: the SE(3)/
+        # quaternion retraction backward uses the hand-derived VJPs
+        # (ops/rigid_body.se3_warp_vec_bwd, ops/quaternion.quat_warp_vec_bwd)
+        # instead of in-kernel jax.vjp, whose lane-padded residual stash had
+        # pinned the fields-backward tile to 256 (round-2 OOM at 1024).
         bwd_tile = min(cfg.pallas_tile, cfg.pallas_bwd_tile)
-        if cfg.warp_field_type != 'translation':
-            # The SE(3)/quaternion fields backward holds the trunk stash
-            # PLUS the in-kernel retraction VJP residuals — ~2x the
-            # translation field's live set (30M at tile 1024, over the 16M
-            # scoped-VMEM limit).
-            bwd_tile = min(bwd_tile, 256)
         tmpl_bwd_tile = FusedLevelSpec._field_defaults['tmpl_bwd_tile']
         have_rays = (origins is not None and directions is not None
                      and z_vals is not None)
@@ -525,7 +525,8 @@ class NerfModel(nn.Module):
         if cfg.hyper_slice_method == 'bendy_sheet':
             return self.hyper_sheet_mlp(
                 points, hyper_embed,
-                alpha=extra_params.get('hyper_sheet_alpha')).astype(jnp.float32)
+                alpha=extra_params.get('hyper_sheet_alpha')).astype(
+                    jnp.promote_types(points.dtype, jnp.float32))
         return None
 
     def map_points(self, points, warp_embed, hyper_embed, extra_params,

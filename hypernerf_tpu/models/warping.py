@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from hypernerf_tpu.models.modules import MLP
+from hypernerf_tpu.ops import at_least_f32
 from hypernerf_tpu.ops import rigid_body
 from hypernerf_tpu.ops.posenc import posenc, posenc_orig
 
@@ -153,8 +154,8 @@ class SE3Field(nn.Module):
                 embed.reshape(-1, embed.shape[-1]),
                 se3_params_to_list(self.variables['params']),
                 enc_scales=scales)
-            warped = self._retract(w, v, points.reshape(-1, 3)
-                                   .astype(jnp.float32))
+            warped = self._retract(w, v, at_least_f32(
+                points.reshape(-1, 3)))
             return warped.reshape(points.shape)
         points_feat = posenc(points, self.min_deg, self.max_deg,
                              use_identity=self.use_posenc_identity, alpha=alpha)
@@ -164,9 +165,9 @@ class SE3Field(nn.Module):
         else:
             inputs = points_feat
         trunk_output = self.trunk(inputs)
-        w = self.w_net(trunk_output).astype(jnp.float32)
-        v = self.v_net(trunk_output).astype(jnp.float32)
-        return self._retract(w, v, points.astype(jnp.float32))
+        w = at_least_f32(self.w_net(trunk_output))
+        v = at_least_f32(self.v_net(trunk_output))
+        return self._retract(w, v, at_least_f32(points))
 
     def _retract(self, w, v, points):
         """Map raw (w, v) head outputs + points to warped points."""

@@ -18,9 +18,14 @@ import pytest
 from hypernerf_tpu.configs import NerfConfig
 from tools.reference_parity import (build_torch_model, cat_perms,
                                     load_reference, make_ray_batch,
-                                    posenc_orig_perm, run_forward_pair)
+                                    posenc_orig_perm, run_forward_pair,
+                                    run_grad_pair)
 
 FWD_TOL = 1e-4
+# f64-vs-f64 comparison: the three original-embed configs measure ~2e-13;
+# the Nerfies config carries the reference's sin(x + 0.5*3.1415926) phase
+# quirk (~3.4e-8, documented at tools/reference_parity.py:32) -> ~7e-8.
+GRAD_TOL = 1e-6
 
 
 def _fast_cfg(**overrides):
@@ -38,19 +43,43 @@ def _fast_cfg(**overrides):
 
 # ---------------------------------------------------------------- forwards
 
-@pytest.mark.parametrize('name,cfg', [
+PARITY_CASES = [
     ('static', _fast_cfg(use_warp=False, hyper_slice_method='none')),
     ('bendy_sheet', _fast_cfg(use_warp=True,
                               hyper_slice_method='bendy_sheet')),
     ('axis_aligned_plane', _fast_cfg(use_warp=True,
                                      hyper_slice_method='axis_aligned_plane',
                                      glo_dim=4, hyper_slice_out_dim=4)),
-])
+    # The reference's own Nerfies posenc path (window disabled, alphas=None;
+    # models.py:239-257, :457-478) — the BASE function of the anneal mode.
+    ('nerfies_encoding', _fast_cfg(use_warp=True,
+                                   hyper_slice_method='bendy_sheet',
+                                   use_original_embed=False)),
+]
+
+
+@pytest.mark.parametrize('name,cfg', PARITY_CASES)
 def test_forward_parity(name, cfg):
     devs = run_forward_pair(cfg, n_rays=8, seed=0)
     assert devs, f'no outputs compared for {name}'
     for key, dev in devs.items():
         assert dev <= FWD_TOL, f'{name} {key}: max|Δ| = {dev:.3e} > {FWD_TOL}'
+
+
+@pytest.mark.parametrize('name,cfg', PARITY_CASES)
+def test_gradient_parity(name, cfg):
+    """torch autograd == jax.grad per parameter on the shared MSE batch
+    (f64 both sides — the proof the two frameworks TRAIN identically;
+    /root/reference/train.py:147-163, losses.py:9-14)."""
+    devs = run_grad_pair(cfg, n_rays=8, seed=0)
+    fwd = {k: v for k, v in devs.items() if k.startswith('_forward')}
+    grads = {k: v for k, v in devs.items() if not k.startswith('_forward')}
+    assert grads, f'no gradients compared for {name}'
+    for key, dev in fwd.items():
+        assert dev <= FWD_TOL, f'{name} {key}: |Δ| = {dev:.3e}'
+    for key, dev in grads.items():
+        assert dev <= GRAD_TOL, \
+            f'{name} {key}: rel grad dev = {dev:.3e} > {GRAD_TOL}'
 
 
 def test_forward_parity_nerf_embed_conditions():
