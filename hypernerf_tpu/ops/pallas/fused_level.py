@@ -234,6 +234,23 @@ def _wv_retraction(spec: FusedLevelSpec):
     return rigid_body.se3_warp_vec
 
 
+def _wv_retraction_bwd(spec: FusedLevelSpec):
+    """Hand-derived VJP of the retraction: (w, v, pts, g) -> (dw, dv, dpts).
+
+    Replaces in-kernel ``jax.vjp`` over the retraction: the AD residuals
+    (~20 lane-padded (T, 3) arrays) stayed live across the whole trunk
+    backward and pinned the SE(3)/quaternion fields-backward tile to 256.
+    The closed forms recompute sin/cos/cross terms inline — a handful of
+    VPU ops with a minimal live set — and are pinned against jax.vjp at
+    1e-12 (tests/test_rigid_body.py, tests/test_quaternion.py).
+    """
+    if spec.warp_type == 'quaternion':
+        from hypernerf_tpu.ops import quaternion
+        return quaternion.quat_warp_vec_bwd
+    from hypernerf_tpu.ops import rigid_body
+    return rigid_body.se3_warp_vec_bwd
+
+
 def _warp_fwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
                    warp_scales=None):
     """(warped points, fwd stash) for one tile (translation, SE(3), or
@@ -326,13 +343,12 @@ def _warp_bwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs, d_warped,
     s = spec
     t = pts.shape[0]
     if s.warp_type in ('se3', 'quaternion'):
-        import jax as _jax
         vals = fwd_vals if fwd_vals is not None else fs3._forward_tile(
             s.warp_fs, raw_f, warp_wbs, scales=warp_scales)
         w3 = vals[-2][:, :3]
         v3 = vals[-1][:, :3]
-        _, vjp = _jax.vjp(_wv_retraction(s), w3, v3, pts)
-        d_w3, d_v3, d_pts_direct = vjp(d_warped)
+        d_w3, d_v3, d_pts_direct = _wv_retraction_bwd(s)(w3, v3, pts,
+                                                         d_warped)
         g_wv = jnp.concatenate(
             [d_w3, d_v3, jnp.zeros((t, fs3.OUT_PAD - 6), jnp.float32)],
             axis=-1)

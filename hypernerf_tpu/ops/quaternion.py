@@ -141,6 +141,47 @@ def quat_warp_vec(w, v, points, small_angle: float = 1e-6):
     return jnp.where(sq <= small_sq, points + v, warped)
 
 
+def quat_warp_vec_bwd(w, v, points, g, small_angle: float = 1e-6):
+    """Hand-derived VJP of ``quat_warp_vec``: g -> (d_w, d_v, d_points).
+
+    Recomputes every forward quantity inline instead of stashing
+    ``jax.vjp`` residuals — inside the fused level backward kernel the AD
+    residuals (~20 lane-padded (T, 3) arrays live across the whole trunk
+    backward) were what pinned the SE(3)/quaternion fields-backward tile to
+    256 (VMEM), while this closed form is a handful of VPU ops with a
+    minimal live set. Built from column-slice ops only (kernel-safe).
+
+    Math: warped = R p + v with R = I + sin(t) A + (1-cos(t)) A^2,
+    A = [a]_x, a = w/t, t = |w|. Then d_p = R^T g;
+    d_a = sin(t) (p x g) + (1-cos(t)) ((a x p) x g - p x (a x g));
+    d_t = cos(t) <a x p, g> + sin(t) <a x (a x p), g>;
+    d_w = a d_t + (d_a - a <a, d_a>)/t; and d_v = g. At w -> 0 the forward
+    degenerates to p + v, so d_p = g, d_w = 0 there.
+    """
+    sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    small_sq = small_angle * small_angle
+    small = sq <= small_sq
+    safe = jnp.sqrt(jnp.where(sq < small_sq, small_sq, sq))
+    a = w / safe
+    sin_t, cos_t = jnp.sin(safe), jnp.cos(safe)
+
+    axg = _cross3(a, g)
+    # d_p = R^T g = g - sin(t) (a x g) + (1-cos(t)) (a x (a x g)).
+    d_p = g - sin_t * axg + (1.0 - cos_t) * _cross3(a, axg)
+
+    axp = _cross3(a, points)
+    d_a = (sin_t * _cross3(points, g)
+           + (1.0 - cos_t) * (_cross3(axp, g) - _cross3(points, axg)))
+    d_t = (cos_t * jnp.sum(axp * g, axis=-1, keepdims=True)
+           + sin_t * jnp.sum(_cross3(a, axp) * g, axis=-1, keepdims=True))
+    d_w = a * d_t + (d_a - a * jnp.sum(a * d_a, axis=-1, keepdims=True)) / safe
+
+    zero = jnp.zeros_like(g)
+    return (jnp.where(small, zero, d_w),
+            g,
+            jnp.where(small, g, d_p))
+
+
 def to_rotation_matrix(q):
     """Unit quaternion -> (..., 3, 3) rotation matrix."""
     x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]

@@ -147,6 +147,57 @@ def se3_warp_vec(w, v, points):
     return jnp.where(theta <= _SMALL_ANGLE, points + v, warped)
 
 
+def se3_warp_vec_bwd(w, v, points, g):
+    """Hand-derived VJP of ``se3_warp_vec``: g -> (d_w, d_v, d_points).
+
+    Recomputes the screw exponential's forward quantities inline instead of
+    stashing ``jax.vjp`` residuals — see quaternion.quat_warp_vec_bwd for
+    why (the AD residual set pinned the fused fields-backward tile to 256).
+
+    Math: warped = R p + G v with R = I + sin(t) A + (1-cos(t)) A^2 and
+    G = I + b1 A + b2 A^2, b1 = (1-cos(t))/t, b2 = (t-sin(t))/t, A = [a]_x,
+    a = w/t, t = |w|. Then d_p = R^T g, d_v = G^T g; the a- and t-
+    cotangents collect the R- and G-path terms (d/dt of sin, 1-cos, b1, b2)
+    and pull back through a = w/t: d_w = a d_t + (I - a a^T) d_a / t.
+    At t -> 0: warped = p + v, so d_p = d_v = g, d_w = 0.
+    """
+    sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    eps_sq = _SMALL_ANGLE * _SMALL_ANGLE
+    small = sq <= eps_sq
+    safe = jnp.sqrt(jnp.where(sq < eps_sq, eps_sq, sq))
+    a = w / safe
+    sin_t, cos_t = jnp.sin(safe), jnp.cos(safe)
+    one_m_cos = 1.0 - cos_t
+    b1 = one_m_cos / safe
+    b2 = (safe - sin_t) / safe
+
+    axg = _cross(a, g)
+    a_axg = _cross(a, axg)
+    # d_p = R^T g;  d_v = G^T g  (transposes flip the sign of the A term).
+    d_p = g - sin_t * axg + one_m_cos * a_axg
+    d_v = g - b1 * axg + b2 * a_axg
+
+    axp = _cross(a, points)
+    axv = _cross(a, v)
+    d_a = (sin_t * _cross(points, g)
+           + one_m_cos * (_cross(axp, g) - _cross(points, axg))
+           + b1 * _cross(v, g)
+           + b2 * (_cross(axv, g) - _cross(v, axg)))
+    # db1/dt = sin/t - (1-cos)/t^2; db2/dt = (sin - t cos)/t^2.
+    b1p = sin_t / safe - one_m_cos / (safe * safe)
+    b2p = (sin_t - safe * cos_t) / (safe * safe)
+    d_t = (cos_t * jnp.sum(axp * g, axis=-1, keepdims=True)
+           + sin_t * jnp.sum(_cross(a, axp) * g, axis=-1, keepdims=True)
+           + b1p * jnp.sum(axv * g, axis=-1, keepdims=True)
+           + b2p * jnp.sum(_cross(a, axv) * g, axis=-1, keepdims=True))
+    d_w = a * d_t + (d_a - a * jnp.sum(a * d_a, axis=-1, keepdims=True)) / safe
+
+    zero = jnp.zeros_like(g)
+    return (jnp.where(small, zero, d_w),
+            jnp.where(small, g, d_v),
+            jnp.where(small, g, d_p))
+
+
 def to_homogenous(v):
     """(..., 3) points -> (..., 4) homogeneous coordinates."""
     return jnp.concatenate([v, jnp.ones_like(v[..., :1])], axis=-1)

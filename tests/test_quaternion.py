@@ -112,3 +112,58 @@ def test_quat_warp_differs_from_se3():
     quat = np.asarray(q.quat_warp_vec(w, v, pts))
     se3 = np.asarray(rigid_body.se3_warp_vec(w, v, pts))
     assert np.abs(quat - se3).max() > 1e-3
+
+
+def test_quat_warp_vec_bwd_matches_autodiff():
+    """The hand-derived VJP (used inside the fused level backward kernel)
+    equals jax.vjp of quat_warp_vec, including the small-angle branch."""
+    import jax
+    import jax.numpy as jnp
+
+    from hypernerf_tpu.ops.quaternion import quat_warp_vec, quat_warp_vec_bwd
+
+    rs = np.random.RandomState(0)
+    n = 64
+    w = np.concatenate([
+        rs.normal(scale=0.7, size=(n - 8, 3)),
+        rs.normal(scale=1e-8, size=(4, 3)),
+        rs.normal(scale=3.0, size=(4, 3)),
+    ]).astype(np.float32)
+    v = rs.normal(scale=0.5, size=(n, 3)).astype(np.float32)
+    p = rs.normal(size=(n, 3)).astype(np.float32)
+    g = rs.normal(size=(n, 3)).astype(np.float32)
+
+    _, vjp = jax.vjp(quat_warp_vec, jnp.asarray(w), jnp.asarray(v),
+                     jnp.asarray(p))
+    ad_w, ad_v, ad_p = vjp(jnp.asarray(g))
+    mw, mv, mp = quat_warp_vec_bwd(jnp.asarray(w), jnp.asarray(v),
+                                   jnp.asarray(p), jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(mw), np.asarray(ad_w),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(ad_v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mp), np.asarray(ad_p),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_quat_warp_vec_bwd_matches_autodiff_f64():
+    import jax
+    import jax.numpy as jnp
+
+    from hypernerf_tpu.ops.quaternion import quat_warp_vec, quat_warp_vec_bwd
+
+    with jax.enable_x64(True):
+        rs = np.random.RandomState(1)
+        n = 32
+        w = rs.normal(scale=0.8, size=(n, 3))
+        v = rs.normal(scale=0.5, size=(n, 3))
+        p = rs.normal(size=(n, 3))
+        g = rs.normal(size=(n, 3))
+        _, vjp = jax.vjp(quat_warp_vec, jnp.asarray(w), jnp.asarray(v),
+                         jnp.asarray(p))
+        ad = vjp(jnp.asarray(g))
+        manual = quat_warp_vec_bwd(jnp.asarray(w), jnp.asarray(v),
+                                   jnp.asarray(p), jnp.asarray(g))
+        for m, a in zip(manual, ad):
+            np.testing.assert_allclose(np.asarray(m), np.asarray(a),
+                                       rtol=1e-12, atol=1e-12)

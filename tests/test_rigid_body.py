@@ -102,3 +102,59 @@ def test_se3_warp_vec_matches_matrix_path():
     for a, b, name in zip(gv, gm, 'wvp'):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_se3_warp_vec_bwd_matches_autodiff():
+    """The hand-derived VJP (used inside the fused level backward kernel)
+    equals jax.vjp of se3_warp_vec, including the small-angle branch."""
+    import jax
+    import jax.numpy as jnp
+
+    from hypernerf_tpu.ops.rigid_body import se3_warp_vec, se3_warp_vec_bwd
+
+    rs = np.random.RandomState(0)
+    n = 64
+    w = np.concatenate([
+        rs.normal(scale=0.7, size=(n - 8, 3)),       # generic angles
+        rs.normal(scale=1e-8, size=(4, 3)),          # small-angle branch
+        rs.normal(scale=3.0, size=(4, 3)),           # large angles
+    ]).astype(np.float32)
+    v = rs.normal(scale=0.5, size=(n, 3)).astype(np.float32)
+    p = rs.normal(scale=1.0, size=(n, 3)).astype(np.float32)
+    g = rs.normal(size=(n, 3)).astype(np.float32)
+
+    _, vjp = jax.vjp(se3_warp_vec, jnp.asarray(w), jnp.asarray(v),
+                     jnp.asarray(p))
+    ad_w, ad_v, ad_p = vjp(jnp.asarray(g))
+    mw, mv, mp = se3_warp_vec_bwd(jnp.asarray(w), jnp.asarray(v),
+                                  jnp.asarray(p), jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(mw), np.asarray(ad_w),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(ad_v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mp), np.asarray(ad_p),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_se3_warp_vec_bwd_matches_autodiff_f64():
+    """Tight f64 agreement rules out any systematic term error."""
+    import jax
+    import jax.numpy as jnp
+
+    from hypernerf_tpu.ops.rigid_body import se3_warp_vec, se3_warp_vec_bwd
+
+    with jax.enable_x64(True):
+        rs = np.random.RandomState(1)
+        n = 32
+        w = rs.normal(scale=0.8, size=(n, 3))
+        v = rs.normal(scale=0.5, size=(n, 3))
+        p = rs.normal(size=(n, 3))
+        g = rs.normal(size=(n, 3))
+        _, vjp = jax.vjp(se3_warp_vec, jnp.asarray(w), jnp.asarray(v),
+                         jnp.asarray(p))
+        ad = vjp(jnp.asarray(g))
+        manual = se3_warp_vec_bwd(jnp.asarray(w), jnp.asarray(v),
+                                  jnp.asarray(p), jnp.asarray(g))
+        for m, a in zip(manual, ad):
+            np.testing.assert_allclose(np.asarray(m), np.asarray(a),
+                                       rtol=1e-12, atol=1e-12)
