@@ -198,6 +198,9 @@ class TrainConfig:
     # (active when NerfConfig.use_occupancy_grid).
     occupancy_update_every: int = 16
     occupancy_decay: float = 0.95
+    # Metadata ids probed per refresh (max across ids): >1 keeps a moving
+    # object visible to the grid before the EMA has cycled through frames.
+    occupancy_probe_ids: int = 4
 
     exp_name: str = 'exp'
     ckpt_dir: str = 'ckpts'

@@ -259,7 +259,7 @@ class NerfModel(nn.Module):
                             alpha_condition, rgb_condition, stratified,
                             extra_params, origins=None, directions=None,
                             z_vals=None, use_sample_at_infinity=True,
-                            render_opts=None):
+                            render_opts=None, fine_u=None):
         """One-kernel warp+hyper+template evaluation (TPU Pallas path).
 
         Returns a full per-ray render dict (rgb/depth/med_depth/acc/weights)
@@ -282,12 +282,16 @@ class NerfModel(nn.Module):
         # broadcasts or the (P, 3) points ever reach HBM. Requires every
         # tile to hold whole rays.
         n_samples = batch_shape[-1]
-        # All warp types share the pallas_bwd_tile budget: the SE(3)/
-        # quaternion retraction backward uses the hand-derived VJPs
-        # (ops/rigid_body.se3_warp_vec_bwd, ops/quaternion.quat_warp_vec_bwd)
-        # instead of in-kernel jax.vjp, whose lane-padded residual stash had
-        # pinned the fields-backward tile to 256 (round-2 OOM at 1024).
         bwd_tile = min(cfg.pallas_tile, cfg.pallas_bwd_tile)
+        if cfg.warp_field_type != 'translation':
+            # The hand-derived retraction VJPs (ops/rigid_body.
+            # se3_warp_vec_bwd, ops/quaternion.quat_warp_vec_bwd) replaced
+            # the in-kernel jax.vjp residual stash and lifted the
+            # SE(3)/quaternion fields-backward tile from 256 to 512; 1024
+            # still exceeds scoped VMEM (26.5M vs 16M — the lane-padded
+            # (T, 3) retraction temporaries plus the two extra head layers
+            # on top of the warp+hyper activation stash).
+            bwd_tile = min(bwd_tile, 512)
         tmpl_bwd_tile = FusedLevelSpec._field_defaults['tmpl_bwd_tile']
         have_rays = (origins is not None and directions is not None
                      and z_vals is not None)
@@ -385,22 +389,30 @@ class NerfModel(nn.Module):
             if noise_key is not None:
                 noise = (jax.random.normal(noise_key, z2.shape, jnp.float32)
                          * cfg.noise_std)
+            n_fine = fine_u.shape[-1] if fine_u is not None else 0
             cspec = CompositeSpec(
                 samples=n_samples,
                 rays_per_tile=max(8, 8192 // n_samples),
                 use_white_background=cfg.use_white_background,
                 sample_at_infinity=use_sample_at_infinity,
-                has_noise=noise is not None)
+                has_noise=noise is not None,
+                fine_samples=n_fine)
             comp = fused_composite(cspec, out, z2,
-                                   directions.reshape(-1, 3), noise)
+                                   directions.reshape(-1, 3), noise,
+                                   u=(fine_u.reshape(-1, n_fine)
+                                      if n_fine else None))
             lead = batch_shape[:-1]
-            return {
+            result = {
                 'rgb': comp['rgb'].reshape(*lead, cfg.rgb_channels),
                 'depth': comp['depth'].reshape(lead),
                 'med_depth': comp['med_depth'].reshape(lead),
                 'acc': comp['acc'].reshape(lead),
                 'weights': comp['weights'].reshape(*lead, n_samples),
             }
+            if n_fine:
+                result['z_union'] = comp['z_union'].reshape(
+                    *lead, n_samples + n_fine)
+            return result
 
         raw_alpha = out['alpha'].reshape(*batch_shape,
                                          cfg.alpha_channels)
@@ -601,7 +613,8 @@ class NerfModel(nn.Module):
                        stratified: bool = True,
                        render_opts=None,
                        return_points: bool = False,
-                       origins=None):
+                       origins=None,
+                       fine_u=None):
         """Evaluate warp + template + compositing for one level (models.py:587-671)."""
         cfg = self.config
         out = {}
@@ -643,7 +656,7 @@ class NerfModel(nn.Module):
                     rgb_condition, stratified, extra_params,
                     origins=origins, directions=directions, z_vals=z_vals,
                     use_sample_at_infinity=use_sample_at_infinity,
-                    render_opts=render_opts)
+                    render_opts=render_opts, fine_u=fine_u)
                 if isinstance(fused, dict):
                     # Compositing already ran in the fused ray-major kernel.
                     out.update(fused)
@@ -766,6 +779,38 @@ class NerfModel(nn.Module):
             z_vals, points = sample_along_rays(
                 coarse_key, origins, directions, cfg.num_coarse_samples,
                 near, far, stratified, cfg.use_linear_disparity)
+        # Fused hierarchical sampling: when the coarse level runs the fused
+        # compositing kernel, the fine inverse-CDF + union-merge runs INSIDE
+        # it (fused_composite fine_samples) — sample_pdf never leaves VMEM.
+        # The fine 'sampling' rng is drawn up-front either way (same
+        # make_rng order as the XLA path, so keys are identical), and
+        # sorted_uniform makes the kernel's u the SAME multiset
+        # piecewise_constant_pdf would draw for this key.
+        fine_key = None
+        fine_u = None
+        occupancy_active = (cfg.use_occupancy_grid
+                            and occupancy_grid is not None)
+        if cfg.num_fine_samples > 0:
+            if stratified:
+                fine_key = self.make_rng('sampling')
+            else:
+                fine_key = jax.random.PRNGKey(0)
+            total = cfg.num_coarse_samples + cfg.num_fine_samples
+            if (cfg.use_pallas and cfg.use_pallas_level
+                    and not occupancy_active and not render_opts
+                    and total & (total - 1) == 0
+                    and jax.default_backend() == 'tpu'
+                    and not self.is_initializing()):
+                from hypernerf_tpu.ops.sampling import sorted_uniform
+                n_rays = directions.shape[0]
+                if stratified:
+                    fine_u = sorted_uniform(fine_key, n_rays,
+                                            cfg.num_fine_samples)
+                else:
+                    fine_u = jnp.broadcast_to(
+                        jnp.linspace(0.0, 1.0, cfg.num_fine_samples),
+                        (n_rays, cfg.num_fine_samples))
+
         coarse_ret = self.render_samples(
             'coarse', points, z_vals, directions, viewdirs, metadata,
             extra_params, use_warp=use_warp,
@@ -774,19 +819,36 @@ class NerfModel(nn.Module):
             use_sample_at_infinity=cfg.use_sample_at_infinity,
             stratified=stratified,
             return_points=return_points,
-            origins=origins)
+            origins=origins,
+            fine_u=fine_u)
         out = {'coarse': coarse_ret}
 
         if cfg.num_fine_samples > 0:
-            z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-            if stratified:
-                fine_key = self.make_rng('sampling')
+            z_union = coarse_ret.pop('z_union', None)
+            if z_union is not None:
+                z_vals = z_union
+                points = (origins[..., None, :]
+                          + z_vals[..., None] * directions[..., None, :])
             else:
-                fine_key = jax.random.PRNGKey(0)
-            z_vals, points = sample_pdf(
-                fine_key, z_vals_mid, coarse_ret['weights'][..., 1:-1],
-                origins, directions, z_vals, cfg.num_fine_samples,
-                stratified)
+                z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+                fine_weights = coarse_ret['weights'][..., 1:-1]
+                if occupancy_active:
+                    # Fine budget follows coarse weights AND occupancy:
+                    # gate the CDF weights with the grid at the coarse
+                    # sample positions so early-training weight noise can't
+                    # spend fine samples in known-empty space
+                    # (ops/occupancy.gate_fine_weights).
+                    from hypernerf_tpu.ops.occupancy import gate_fine_weights
+                    bbox = ((cfg.occupancy_bbox_min,) * 3,
+                            (cfg.occupancy_bbox_max,) * 3)
+                    fine_weights = gate_fine_weights(
+                        occupancy_grid, origins, directions,
+                        z_vals[..., 1:-1], fine_weights, bbox,
+                        cfg.occupancy_floor)
+                z_vals, points = sample_pdf(
+                    fine_key, z_vals_mid, fine_weights,
+                    origins, directions, z_vals, cfg.num_fine_samples,
+                    stratified)
             out['fine'] = self.render_samples(
                 'fine', points, z_vals, directions, viewdirs, metadata,
                 extra_params, use_warp=use_warp,

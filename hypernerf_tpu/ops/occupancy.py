@@ -84,6 +84,33 @@ def update_grid(grid, sigma, decay: float):
     return jnp.maximum(grid * decay, sigma.reshape(g, g, g))
 
 
+def gate_fine_weights(grid, origins, directions, z_vals, weights, bbox,
+                      floor: float = 0.01):
+    """AND the fine-level CDF weights with the occupancy grid.
+
+    The hierarchical fine sampler draws from the COARSE model's weights
+    (models.py:753 semantics); early in training those are noisy, so fine
+    samples leak into space the grid already knows is empty. Gating
+    multiplies each coarse weight by the normalized occupancy at its sample
+    position (plus ``floor`` to keep full support), so the fine budget
+    concentrates where coarse weights AND occupancy agree.
+
+    Args:
+      grid: (G, G, G) densities.  origins/directions: (B, 3).
+      z_vals: (B, S) depths of the coarse samples the weights belong to.
+      weights: (B, S) coarse compositing weights (any consistent slice).
+      bbox: world min/max corners.
+
+    Returns:
+      (B, S) gated weights.
+    """
+    pts = origins[:, None, :] + z_vals[..., None] * directions[:, None, :]
+    occ = grid_lookup(grid, pts, bbox)
+    peak = jnp.max(occ, axis=-1, keepdims=True)
+    gate = occ / jnp.maximum(peak, 1e-6) + floor
+    return weights * gate
+
+
 def sample_occupancy_rays(key, origins, directions, grid, bbox,
                           num_samples: int, near, far, n_probes: int,
                           use_stratified_sampling: bool,

@@ -44,6 +44,15 @@ class CompositeSpec(NamedTuple):
     has_noise: bool = False
     eps: float = 1e-5
     interpret: bool = False
+    # When > 0 the coarse-level call ALSO draws the fine z's in-kernel:
+    # inverse-CDF over its own weights (ops/sampling.piecewise_constant_pdf
+    # semantics) + bitonic union-merge with the coarse z — the hierarchical
+    # sample_pdf (model_utils.py:206-232) without leaving VMEM. Requires
+    # sorted u (ops/sampling.sorted_uniform) and samples + fine_samples a
+    # power of two (the merge network). The union depths are gradient-dead
+    # (fine samples detached per the reference's model_utils.py:204; coarse
+    # depths parameter-free), so the backward ignores their cotangent.
+    fine_samples: int = 0
 
 
 def _shift_scan(x, op, identity):
@@ -118,6 +127,85 @@ def _repack(spec: CompositeSpec, planes):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _reverse_lanes(x):
+    """Reverse the last axis via an exact anti-diagonal f32 matmul (no
+    lane-splitting reshapes; permutation matmuls are exact)."""
+    n = x.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rev = jnp.where(rows + cols == n - 1, 1.0, 0.0)
+    return jax.lax.dot_general(x, rev, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _bitonic_merge(x):
+    """Ascending sort of a bitonic row (asc-then-desc), last axis = 2^k.
+
+    log2(U) compare-exchange stages of roll + select — sorting is pure
+    selection, so the result is bit-identical to jnp.sort of the same
+    multiset.
+    """
+    u = x.shape[-1]
+    assert u & (u - 1) == 0, u
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    k = u // 2
+    while k >= 1:
+        fwd = pltpu.roll(x, u - k, axis=x.ndim - 1)   # x[i + k] at lane i
+        bwd = pltpu.roll(x, k, axis=x.ndim - 1)       # x[i - k] at lane i
+        first = (col % (2 * k)) < k
+        x = jnp.where(first, jnp.minimum(x, fwd), jnp.maximum(x, bwd))
+        k //= 2
+    return x
+
+
+def _fine_z_tile(spec: CompositeSpec, weights, z, u, col):
+    """In-kernel hierarchical sampling: (R, S + N) sorted union depths.
+
+    Mirrors ops/sampling.sample_pdf composed with the model's call
+    (models.py:753 semantics): bins = z midpoints, weights[1:-1] + eps, CDF
+    inversion via the same masked max/min formulation as
+    ops/sampling.piecewise_constant_pdf, then a sorted-merge with the
+    coarse z. ``u`` must be ascending per ray (sorted_uniform /
+    linspace) so the inverse-CDF output is sorted by construction and the
+    union is a bitonic merge.
+    """
+    sp = spec
+    s, n = sp.samples, sp.fine_samples
+    eps = 1e-5
+    z_next = pltpu.roll(z, s - 1, axis=1)             # z[k+1] at lane k
+    bins = 0.5 * (z + z_next)                         # lanes 0..s-2 valid
+    w = jnp.where((col >= 1) & (col <= s - 2), weights + eps, 0.0)
+    pdf = w / jnp.sum(w, axis=1, keepdims=True)
+    cdf = _shift_scan(pdf, jnp.add, 0.0)              # cdf_k at lane k, 0..s-2
+
+    # Masked max/min bracket (exactly ops/sampling.piecewise_constant_pdf's
+    # formulation): mask[r, k, j] = cdf_k <= u_j over the s-1 cdf entries.
+    cdf3 = cdf[:, :, None]
+    bins3 = bins[:, :, None]
+    u3 = u[:, None, :]
+    krow = jax.lax.broadcasted_iota(jnp.int32, (z.shape[0], s, n), 1)
+    valid = krow <= s - 2
+    mask = (u3 >= cdf3) & valid
+    cdf_g0 = jnp.max(jnp.where(mask, cdf3, cdf[:, :1, None]), axis=1)
+    bins_g0 = jnp.max(jnp.where(mask, bins3, bins[:, :1, None]), axis=1)
+    cdf_g1 = jnp.min(jnp.where(mask | ~valid, cdf[:, s - 2:s - 1, None],
+                               cdf3), axis=1)
+    bins_g1 = jnp.min(jnp.where(mask | ~valid, bins[:, s - 2:s - 1, None],
+                                bins3), axis=1)
+    cdf_g0 = jnp.minimum(cdf_g0, cdf[:, s - 3:s - 2])
+    bins_g0 = jnp.minimum(bins_g0, bins[:, s - 3:s - 2])
+    cdf_g1 = jnp.maximum(cdf_g1, cdf[:, 1:2])
+    bins_g1 = jnp.maximum(bins_g1, bins[:, 1:2])
+
+    denom = cdf_g1 - cdf_g0
+    denom = jnp.where(denom < eps, 1.0, denom)
+    samples = bins_g0 + (u - cdf_g0) / denom * (bins_g1 - bins_g0)
+
+    cat = jnp.concatenate([z, _reverse_lanes(samples)], axis=-1)
+    return _bitonic_merge(cat)
+
+
 def _forward_tile(spec: CompositeSpec, packed, z, dnorm, noise):
     """Compositing forward on one tile; returns intermediates for reuse.
 
@@ -179,13 +267,18 @@ def _make_fwd_kernel(spec: CompositeSpec):
         off = 3
         noise_ref = refs[off] if sp.has_noise else None
         off += 1 if sp.has_noise else 0
+        u_ref = refs[off] if sp.fine_samples else None
+        off += 1 if sp.fine_samples else 0
         outs_ref, w_ref = refs[off], refs[off + 1]
+        zu_ref = refs[off + 2] if sp.fine_samples else None
         z = z_ref[0]
         noise = noise_ref[0] if sp.has_noise else None
         fwd = _forward_tile(sp, packed_ref[0], z, dnorm_ref[0], noise)
         outs, weights, _ = _outputs_tile(sp, fwd, z)
         outs_ref[0] = outs
         w_ref[0] = weights
+        if sp.fine_samples:
+            zu_ref[0] = _fine_z_tile(sp, weights, z, u_ref[0], fwd[-1])
     return kernel
 
 
@@ -285,21 +378,24 @@ def _tile_io(arrays, n_tiles):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused(spec, packed, z, dnorm, noise):
+def _fused(spec, packed, z, dnorm, noise, u):
     sp = spec
     b = z.shape[0]
     n_tiles = b // sp.rays_per_tile
     # One packed row per ray (row-major (P, 8) -> (B, S*8) is free).
     pk_rows = packed.reshape(b, sp.samples * 8)
     ray_in, ray_specs = _tile_io(
-        [pk_rows, z, dnorm] + ([noise] if sp.has_noise else []), n_tiles)
-    out_shapes = [jax.ShapeDtypeStruct((n_tiles, sp.rays_per_tile, OUT_PAD),
-                                       jnp.float32),
-                  jax.ShapeDtypeStruct((n_tiles, sp.rays_per_tile,
-                                        sp.samples), jnp.float32)]
-    _, out_specs = _tile_io(
-        [jnp.zeros((b, OUT_PAD)), jnp.zeros((b, sp.samples))], n_tiles)
-    outs, weights = pl.pallas_call(
+        [pk_rows, z, dnorm] + ([noise] if sp.has_noise else [])
+        + ([u] if sp.fine_samples else []), n_tiles)
+    out_protos = [jnp.zeros((b, OUT_PAD)), jnp.zeros((b, sp.samples))]
+    if sp.fine_samples:
+        out_protos.append(
+            jnp.zeros((b, sp.samples + sp.fine_samples)))
+    out_shapes = [jax.ShapeDtypeStruct((n_tiles, sp.rays_per_tile,
+                                        a.shape[1]), jnp.float32)
+                  for a in out_protos]
+    _, out_specs = _tile_io(out_protos, n_tiles)
+    outs = pl.pallas_call(
         _make_fwd_kernel(sp),
         grid=(n_tiles,),
         in_specs=ray_specs,
@@ -307,17 +403,24 @@ def _fused(spec, packed, z, dnorm, noise):
         out_shape=out_shapes,
         interpret=sp.interpret,
     )(*ray_in)
-    return outs.reshape(b, OUT_PAD), weights.reshape(b, sp.samples)
+    z_union = (outs[2].reshape(b, sp.samples + sp.fine_samples)
+               if sp.fine_samples else None)
+    return outs[0].reshape(b, OUT_PAD), outs[1].reshape(b, sp.samples), \
+        z_union
 
 
-def _fused_fwd(spec, packed, z, dnorm, noise):
-    out = _fused(spec, packed, z, dnorm, noise)
-    return out, (packed, z, dnorm, noise)
+def _fused_fwd(spec, packed, z, dnorm, noise, u):
+    out = _fused(spec, packed, z, dnorm, noise, u)
+    return out, (packed, z, dnorm, noise, u)
 
 
 def _fused_bwd(spec, res, g):
-    packed, z, dnorm, noise = res
-    d_outs, d_weights = g
+    packed, z, dnorm, noise, u = res
+    # g[2] (the union fine depths' cotangent) is dropped by design: the
+    # fine z's are detached in the reference (model_utils.py:204) and the
+    # coarse depths are parameter-free, so nothing downstream of z_union
+    # carries gradient to any parameter. u likewise gets no gradient.
+    d_outs, d_weights = g[0], g[1]
     sp = spec
     b = z.shape[0]
     n_tiles = b // sp.rays_per_tile
@@ -343,13 +446,15 @@ def _fused_bwd(spec, res, g):
     d_z = outs[1].reshape(z.shape)
     d_dnorm = outs[2].reshape(dnorm.shape)
     d_noise = outs[3].reshape(noise.shape) if sp.has_noise else None
-    return d_packed, d_z, d_dnorm, d_noise
+    d_u = jnp.zeros_like(u) if u is not None else None
+    return d_packed, d_z, d_dnorm, d_noise, d_u
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_composite(spec: CompositeSpec, packed, z_vals, dirs, noise=None):
+def fused_composite(spec: CompositeSpec, packed, z_vals, dirs, noise=None,
+                    u=None):
     """Activations + volume rendering for packed level outputs.
 
     Args:
@@ -360,16 +465,26 @@ def fused_composite(spec: CompositeSpec, packed, z_vals, dirs, noise=None):
       dirs: (B, 3) ray directions (norm scales the deltas).
       noise: (B, S) sigma noise (pre-scaled) or None; must match
         spec.has_noise.
+      u: (B, fine_samples) ASCENDING uniforms (sorted_uniform / linspace)
+        when spec.fine_samples > 0 — the kernel then also returns 'z_union',
+        the (B, S + fine_samples) sorted hierarchical depths for the fine
+        level (sample_pdf fused in; gradient-dead, see CompositeSpec).
 
     Returns:
       dict with 'rgb' (B, 3), 'depth' (B,), 'med_depth' (B,), 'acc' (B,),
       'weights' (B, S) — same semantics as ops/rendering.volumetric_rendering
-      applied to sigmoid(rgb)/softplus(sigma + noise).
+      applied to sigmoid(rgb)/softplus(sigma + noise) — plus 'z_union' when
+      spec.fine_samples > 0.
     """
     sp = spec
     b, s = z_vals.shape
     assert s == sp.samples, (s, sp.samples)
     assert (noise is not None) == sp.has_noise
+    assert (u is not None) == (sp.fine_samples > 0)
+    if sp.fine_samples:
+        total = s + sp.fine_samples
+        assert total & (total - 1) == 0, \
+            f'bitonic union-merge needs a power-of-two total, got {total}'
     b_pad = _rup(b, sp.rays_per_tile)
     dnorm = jnp.linalg.norm(dirs, axis=-1, keepdims=True).astype(jnp.float32)
 
@@ -384,12 +499,17 @@ def fused_composite(spec: CompositeSpec, packed, z_vals, dirs, noise=None):
     # outputs are sliced off below.
     z_in = pad_rays(z_vals.astype(jnp.float32))
     noise_in = pad_rays(noise.astype(jnp.float32)) if sp.has_noise else None
-    outs, weights = _fused(sp, packed, z_in, pad_rays(dnorm), noise_in)
+    u_in = pad_rays(u.astype(jnp.float32)) if sp.fine_samples else None
+    outs, weights, z_union = _fused(sp, packed, z_in, pad_rays(dnorm),
+                                    noise_in, u_in)
     outs = outs[:b]
-    return {
+    result = {
         'rgb': outs[:, :3],
         'depth': outs[:, 3],
         'med_depth': outs[:, 4],
         'acc': outs[:, 5],
         'weights': weights[:b],
     }
+    if sp.fine_samples:
+        result['z_union'] = z_union[:b]
+    return result

@@ -150,6 +150,8 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
                         help='grid bounding cube [min max] in world units')
     parser.add_argument('--occupancy_update_every', type=int, default=16)
     parser.add_argument('--occupancy_decay', type=float, default=0.95)
+    parser.add_argument('--occupancy_probe_ids', type=int, default=4,
+                        help='metadata ids probed (max-ed) per grid refresh')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--val_check_interval', type=float, default=0.25)
@@ -233,6 +235,7 @@ def configs_from_args(args) -> tuple:
         hyper_alpha_steps=getattr(args, 'hyper_alpha_steps', 10000),
         occupancy_update_every=getattr(args, 'occupancy_update_every', 16),
         occupancy_decay=getattr(args, 'occupancy_decay', 0.95),
+        occupancy_probe_ids=getattr(args, 'occupancy_probe_ids', 4),
         exp_name=args.exp_name,
         ckpt_path=args.ckpt_path,
         weight_path=args.weight_path,

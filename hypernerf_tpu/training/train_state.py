@@ -175,9 +175,11 @@ def make_occupancy_update(model: NerfModel, nerf_cfg: NerfConfig,
                           train_cfg: TrainConfig):
     """Jitted occupancy-grid refresh: state -> state with updated grid.
 
-    Evaluates the model's own density at jittered grid-cell centers for a
-    random metadata id (folded from the step, identical on every device —
-    the grid stays replicated) and EMA-maxes it into the grid
+    Evaluates the model's own density at jittered grid-cell centers for
+    TrainConfig.occupancy_probe_ids random metadata ids (folded from the
+    step, identical on every device — the grid stays replicated), takes the
+    max across ids so a moving object is visible to the grid for any frame
+    probed this round, and EMA-maxes it into the grid
     (ops/occupancy.update_grid). Call every
     TrainConfig.occupancy_update_every steps.
     """
@@ -185,17 +187,22 @@ def make_occupancy_update(model: NerfModel, nerf_cfg: NerfConfig,
 
     cfg = nerf_cfg
     bbox = ((cfg.occupancy_bbox_min,) * 3, (cfg.occupancy_bbox_max,) * 3)
+    n_ids = max(1, min(train_cfg.occupancy_probe_ids, cfg.num_embeddings))
 
     def update(state: TrainState, base_rng) -> TrainState:
         rng = jax.random.fold_in(base_rng, state.step)
         k_jit, k_id = jax.random.split(rng)
         pts = cell_points(cfg.occupancy_resolution, bbox, key=k_jit)
-        mid = jax.random.randint(k_id, (), 0, cfg.num_embeddings)
-        metadata_id = jnp.full((pts.shape[0], 1), mid, jnp.int32)
+        mids = jax.random.randint(k_id, (n_ids,), 0, cfg.num_embeddings)
         extra_params = compute_extra_params(cfg, train_cfg, state.step)
-        sigma = model.apply(
-            {'params': forward_params(state.params)}, pts, metadata_id,
-            extra_params, method=NerfModel.query_sigma)
+
+        def probe(mid):
+            metadata_id = jnp.full((pts.shape[0], 1), mid, jnp.int32)
+            return model.apply(
+                {'params': forward_params(state.params)}, pts, metadata_id,
+                extra_params, method=NerfModel.query_sigma)
+
+        sigma = jnp.max(jax.lax.map(probe, mids), axis=0)
         grid = update_grid(state.occupancy, sigma,
                            train_cfg.occupancy_decay)
         return state.replace(occupancy=grid)

@@ -93,3 +93,65 @@ def test_fused_composite_ray_padding():
         np.testing.assert_allclose(np.asarray(out_a[key]),
                                    np.asarray(out_b[key]),
                                    rtol=1e-6, err_msg=key)
+
+
+def test_fused_fine_sampling_matches_sample_pdf():
+    """In-kernel hierarchical sampling (fine_samples > 0): z_union must
+    match ops.sampling.sample_pdf on the kernel's own weights, for sorted
+    stratified u and for deterministic linspace u."""
+    from hypernerf_tpu.ops.sampling import sample_pdf, sorted_uniform
+
+    n_fine = S  # S + n_fine = 32, a power of two
+    packed, z, dirs, noise = _inputs()
+    spec = CompositeSpec(samples=S, rays_per_tile=8, has_noise=False,
+                         fine_samples=n_fine, interpret=True)
+    key = jax.random.PRNGKey(7)
+    for u, strat in ((sorted_uniform(key, B, n_fine), True),
+                     (jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_fine),
+                                       (B, n_fine)), False)):
+        out = fused_composite(spec, packed, z, dirs, u=u)
+        ref = _reference(packed, z, dirs, None, False, True)
+        np.testing.assert_allclose(np.asarray(out['weights']),
+                                   np.asarray(ref['weights']), atol=1e-6)
+        z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+        origins = jnp.zeros((B, 3))
+        want_z, _ = sample_pdf(key, z_mid, ref['weights'][:, 1:-1],
+                               origins, dirs, z, n_fine,
+                               use_stratified_sampling=strat)
+        diff = np.abs(np.asarray(out['z_union']) - np.asarray(want_z))
+        if strat:
+            # Training path: u edges have measure zero -> tight agreement.
+            assert diff.max() <= 2e-5, diff.max()
+        else:
+            # Deterministic linspace includes u=1.0 exactly: a one-ulp
+            # cumsum difference legitimately flips that u's CDF bracket
+            # (kernel shift-scan vs XLA cumsum), moving ONE sample by at
+            # most a bin. Everything off the knife edge must be tight.
+            bin_w = float(np.max(np.diff(np.asarray(z), axis=-1)))
+            assert (diff > 2e-5).mean() <= 0.01, (diff > 2e-5).mean()
+            assert diff.max() <= bin_w, (diff.max(), bin_w)
+
+
+def test_fused_fine_sampling_gradients_unaffected():
+    """fine_samples must not change the compositing gradients, and the
+    union depths carry no gradient (reference detach semantics)."""
+    from hypernerf_tpu.ops.sampling import sorted_uniform
+
+    packed, z, dirs, _ = _inputs()
+    u = sorted_uniform(jax.random.PRNGKey(3), B, S)
+    base = CompositeSpec(samples=S, rays_per_tile=8, interpret=True)
+    with_f = base._replace(fine_samples=S)
+
+    def loss(spec, use_u):
+        def f(p):
+            kw = dict(u=u) if use_u else {}
+            out = fused_composite(spec, p, z, dirs, **kw)
+            l = jnp.sum(out['rgb']) + jnp.sum(out['weights'] * 0.1)
+            if 'z_union' in out:
+                l = l + 0.0 * jnp.sum(out['z_union'])  # dead by design
+            return l
+        return jax.grad(f)(packed)
+
+    g0 = loss(base, False)
+    g1 = loss(with_f, True)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-6)

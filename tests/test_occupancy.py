@@ -66,6 +66,47 @@ def test_sample_occupancy_concentrates():
     assert frac_in > 0.6, frac_in  # ~12.5% of the range draws >60% of samples
 
 
+def test_gate_fine_weights_suppresses_empty_space():
+    from hypernerf_tpu.ops.occupancy import gate_fine_weights
+    g = 16
+    grid = init_grid(g)
+    # Occupied only for world z in [0, 1].
+    zi0, zi1 = int((0 + 2) / 4 * g), int((1 + 2) / 4 * g) + 1
+    grid = grid.at[:, :, zi0:zi1].set(10.0)
+    b, s = 4, 8
+    origins = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (b, 1))
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (b, 1))
+    z = jnp.tile(jnp.linspace(0.5, 3.5, s)[None], (b, 1))  # world z -1.5..1.5
+    w = jnp.ones((b, s))
+    floor = 0.01
+    gated = gate_fine_weights(grid, origins, dirs, z, w, BBOX, floor)
+    # Voxels zi0..zi1-1 cover world z in [0, 1.25) <=> t in [2, 3.25).
+    occupied = (z >= 2.0) & (z < 3.25)
+    # Occupied bins keep ~full weight; empty bins drop to the floor.
+    assert float(jnp.min(jnp.where(occupied, gated, 2.0))) >= 1.0
+    emptied = jnp.where(occupied, 0.0, gated)
+    assert float(jnp.max(emptied)) <= floor + 1e-6
+
+
+def test_occupancy_update_probes_multiple_ids():
+    """With per-frame geometry, a single-id probe misses frames; the
+    multi-id max must see density from more than one metadata id."""
+    from hypernerf_tpu.training.train_state import make_occupancy_update
+    from hypernerf_tpu.training.optimizers import get_optimizer
+    from hypernerf_tpu.training.train_state import create_train_state
+
+    nerf_cfg, train_cfg = _tiny_cfgs()
+    train_cfg = dataclasses.replace(train_cfg, occupancy_probe_ids=3)
+    model = NerfModel(nerf_cfg)
+    tx = get_optimizer(train_cfg, steps_per_epoch=10)
+    state = create_train_state(model, tx, train_cfg, jax.random.PRNGKey(0),
+                               _rays(16))
+    update_fn = make_occupancy_update(model, nerf_cfg, train_cfg)
+    new_state = update_fn(state, jax.random.PRNGKey(3))
+    assert np.isfinite(np.asarray(new_state.occupancy)).all()
+    assert float(jnp.sum(new_state.occupancy)) > 0.0
+
+
 def _tiny_cfgs():
     nerf_cfg = NerfConfig(
         num_embeddings=4, num_coarse_samples=8, num_fine_samples=8,

@@ -90,6 +90,13 @@ def main():
     parser.add_argument('--eval_every', type=int, default=50)
     parser.add_argument('--chunk', type=int, default=1024)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--slice_method', type=str, default='bendy_sheet',
+                        choices=['bendy_sheet', 'axis_aligned_plane', 'none'],
+                        help='hyper slicing (plane mode requires '
+                             'GLO_dim == hyper_slice_out_dim in the '
+                             'reference, models.py:268 — pass --glo_dim 4)')
+    parser.add_argument('--use_warp', type=int, default=1)
+    parser.add_argument('--glo_dim', type=int, default=8)
     parser.add_argument('--report', type=str, default=None,
                         help='append JSONL rows {step, loss, val_psnr}')
     args = parser.parse_args()
@@ -119,14 +126,16 @@ def main():
     num_img = int(all_rays[:, 8].max().item()) + 1
 
     ids = list(range(num_img))
+    slice_method = (None if args.slice_method == 'none'
+                    else args.slice_method)
     model = ref.models.NerfModel(
         {'warp': ids, 'camera': [0], 'appearance': ids, 'time': ids},
         near=0.0, far=1.0,
         n_samples_coarse=args.n_samples, n_samples_fine=args.n_importance,
-        noise_std=1.0, use_warp=True, use_nerf_embed=False,
+        noise_std=1.0, use_warp=bool(args.use_warp), use_nerf_embed=False,
         use_alpha_cond=False, use_rgb_cond=False,
-        hyper_slice_method='bendy_sheet', hyper_slice_out_dim=4,
-        GLO_dim=8, share_GLO=True,
+        hyper_slice_method=slice_method, hyper_slice_out_dim=4,
+        GLO_dim=args.glo_dim, share_GLO=True,
         xyz_fourier_dim=10, hyper_fourier_dim=6, view_fourier_dim=6)
     optim = torch.optim.Adam(model.parameters(), lr=args.lr)
     mse = torch.nn.MSELoss()

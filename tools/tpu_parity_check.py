@@ -129,7 +129,16 @@ def main():
                                                    use_pallas_fields=True)),
              ('se3 fused level kernel', dict(use_pallas=True,
                                              use_pallas_fields=True,
-                                             use_pallas_level=True))],
+                                             use_pallas_level=True)),
+             # Production tiles: the hand-derived retraction VJPs lifted
+             # the fields backward from its 256 pin to 512 (round 3; 1024
+             # still exceeds scoped VMEM) — verify the 512-tile backward
+             # compiles and matches on device.
+             ('se3 fused level @512', dict(use_pallas=True,
+                                           use_pallas_fields=True,
+                                           use_pallas_level=True,
+                                           pallas_tile=1024,
+                                           pallas_bwd_tile=512))],
             check_grads=True)
 
     # Quaternion warp (same fused trunk, quaternion-exp retraction). Grad
@@ -144,7 +153,12 @@ def main():
     compare('quaternion+anneal', quat, quat_vars, mid_alphas,
             [('quaternion fused level kernel', dict(use_pallas=True,
                                                     use_pallas_fields=True,
-                                                    use_pallas_level=True))],
+                                                    use_pallas_level=True)),
+             ('quaternion fused level @512', dict(use_pallas=True,
+                                                  use_pallas_fields=True,
+                                                  use_pallas_level=True,
+                                                  pallas_tile=1024,
+                                                  pallas_bwd_tile=512))],
             check_grads=True)
 
     sys.exit(1 if failures else 0)

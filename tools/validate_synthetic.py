@@ -41,6 +41,11 @@ def main():
                         help='enable occupancy-grid guided coarse sampling')
     parser.add_argument('--N_samples', type=int, default=64)
     parser.add_argument('--N_importance', type=int, default=64)
+    parser.add_argument('--glo_dim', type=int, default=None,
+                        help='override GLO embedding dim (plane-mode '
+                             'head-to-heads use 4 to match the reference, '
+                             'whose plane slicing requires GLO_dim == '
+                             'hyper_slice_out_dim, models.py:268)')
     parser.add_argument('--report', type=str, default=None,
                         help='append a JSON result line to this file')
     args = parser.parse_args()
@@ -59,6 +64,8 @@ def main():
     mode = args.mode or ('static' if args.static else 'hypernerf')
     common = dict(num_coarse_samples=args.N_samples,
                   num_fine_samples=args.N_importance)
+    if args.glo_dim is not None:
+        common.update(glo_dim=args.glo_dim)
     if args.occupancy:
         # The synthetic LLFF scene lives in NDC; the unit cube covers it.
         common.update(use_occupancy_grid=True,
