@@ -21,14 +21,45 @@ apply sigmoid/softplus in fp32.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from hypernerf_tpu.ops.posenc import posenc_orig
 
 Dtype = Any
+
+
+def torch_linear_bias(fan_in: int) -> Callable:
+    """torch nn.Linear's DEFAULT bias init: U(-1/sqrt(fan_in), +1/sqrt(fan_in)).
+
+    The reference re-initializes only the WEIGHTS of its layers
+    (modules.py:105-109 loops over ``linear.weight``); every bias keeps
+    torch's default. Replicated here because init distributions are part of
+    the training semantics — with zero biases instead, the same-data
+    head-to-head (tools/reference_on_synthetic.py) trains measurably
+    differently.
+    """
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def torch_linear_kernel(key, shape, dtype=jnp.float32):
+    """torch nn.Linear's DEFAULT weight init: kaiming_uniform(a=sqrt(5)),
+    which reduces to U(-1/sqrt(fan_in), +1/sqrt(fan_in)).
+
+    Used where the reference constructs a bare nn.Linear without re-init
+    (the bottleneck, modules.py:232). flax kernels are (in, out), so
+    fan_in = shape[0].
+    """
+    bound = 1.0 / math.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
 class MLP(nn.Module):
@@ -52,6 +83,16 @@ class MLP(nn.Module):
     use_bias: bool = True
     skips: Tuple[int, ...] = (4,)
     dtype: Dtype = jnp.float32
+    # Biases follow torch nn.Linear's default U(+-1/sqrt(fan_in)) — the
+    # reference re-inits weights only (see torch_linear_bias). Zero-bias
+    # opt-out exists for beyond-reference modules that need exact
+    # near-identity init (the SE(3)/quaternion w/v heads).
+    torch_default_bias: bool = True
+
+    def _bias_init(self, fan_in: int) -> Callable:
+        if self.torch_default_bias:
+            return torch_linear_bias(fan_in)
+        return nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):
@@ -60,6 +101,7 @@ class MLP(nn.Module):
             x = nn.Dense(self.width,
                          use_bias=self.use_bias,
                          kernel_init=self.hidden_init,
+                         bias_init=self._bias_init(x.shape[-1]),
                          dtype=self.dtype,
                          param_dtype=jnp.float32,
                          name=f'hidden_{i}')(x)
@@ -69,6 +111,7 @@ class MLP(nn.Module):
         x = nn.Dense(self.out_ch,
                      use_bias=self.use_bias,
                      kernel_init=self.output_init or self.hidden_init,
+                     bias_init=self._bias_init(x.shape[-1]),
                      dtype=self.dtype,
                      param_dtype=jnp.float32,
                      name='logit')(x)
@@ -197,7 +240,11 @@ class NerfMLP(nn.Module):
                     skips=self.skips,
                     dtype=self.dtype,
                     name='trunk')(x)
+        # The reference's bottleneck is a bare nn.Linear with torch defaults
+        # (modules.py:232) — kaiming_uniform(a=sqrt(5)) weight + default bias.
         bottleneck = nn.Dense(self.trunk_width // 2,
+                              kernel_init=torch_linear_kernel,
+                              bias_init=torch_linear_bias(self.trunk_width),
                               dtype=self.dtype,
                               param_dtype=jnp.float32,
                               name='bottleneck')(trunk)
@@ -210,6 +257,7 @@ class NerfMLP(nn.Module):
             alpha_input = bottleneck
         alpha = nn.Dense(self.alpha_channels,
                          kernel_init=nn.initializers.xavier_uniform(),
+                         bias_init=torch_linear_bias(alpha_input.shape[-1]),
                          dtype=self.dtype,
                          param_dtype=jnp.float32,
                          name='alpha_head')(alpha_input)

@@ -120,11 +120,18 @@ class SE3Field(nn.Module):
                          skips=self.skips,
                          dtype=self.dtype,
                          name='trunk')
+        # Zero head biases (torch_default_bias off): the screw/quaternion
+        # exponential must start at the identity map, which needs w, v ~ 0
+        # exactly — a U(+-1/sqrt(128)) default bias would start every point
+        # rotated ~0.1 rad. (The reference's SE3 field is broken/untested,
+        # so there is no reference init to match here; this is our design.)
         self.w_net = MLP(out_ch=3, depth=0, width=self.trunk_width,
                          output_init=nn.initializers.uniform(scale=1e-4),
+                         torch_default_bias=False,
                          dtype=self.dtype, name='w_net')
         self.v_net = MLP(out_ch=3, depth=0, width=self.trunk_width,
                          output_init=nn.initializers.uniform(scale=1e-4),
+                         torch_default_bias=False,
                          dtype=self.dtype, name='v_net')
 
     def warp(self, points, embed, extra_params=None, allow_pallas=True):

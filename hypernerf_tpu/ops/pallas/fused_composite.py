@@ -181,17 +181,24 @@ def _fine_z_tile(spec: CompositeSpec, weights, z, u, col):
 
     # Masked max/min bracket (exactly ops/sampling.piecewise_constant_pdf's
     # formulation): mask[r, k, j] = cdf_k <= u_j over the s-1 cdf entries.
+    # Fill values enter as (R, 1, N) rows — Mosaic's gather lowering rejects
+    # (R, 1, 1) operands broadcast into 3-D wheres.
+    ones_u = jnp.ones_like(u)
+
+    def fill(x_col):
+        return (x_col * ones_u)[:, None, :]
+
     cdf3 = cdf[:, :, None]
     bins3 = bins[:, :, None]
     u3 = u[:, None, :]
     krow = jax.lax.broadcasted_iota(jnp.int32, (z.shape[0], s, n), 1)
     valid = krow <= s - 2
     mask = (u3 >= cdf3) & valid
-    cdf_g0 = jnp.max(jnp.where(mask, cdf3, cdf[:, :1, None]), axis=1)
-    bins_g0 = jnp.max(jnp.where(mask, bins3, bins[:, :1, None]), axis=1)
-    cdf_g1 = jnp.min(jnp.where(mask | ~valid, cdf[:, s - 2:s - 1, None],
+    cdf_g0 = jnp.max(jnp.where(mask, cdf3, fill(cdf[:, :1])), axis=1)
+    bins_g0 = jnp.max(jnp.where(mask, bins3, fill(bins[:, :1])), axis=1)
+    cdf_g1 = jnp.min(jnp.where(mask | ~valid, fill(cdf[:, s - 2:s - 1]),
                                cdf3), axis=1)
-    bins_g1 = jnp.min(jnp.where(mask | ~valid, bins[:, s - 2:s - 1, None],
+    bins_g1 = jnp.min(jnp.where(mask | ~valid, fill(bins[:, s - 2:s - 1]),
                                 bins3), axis=1)
     cdf_g0 = jnp.minimum(cdf_g0, cdf[:, s - 3:s - 2])
     bins_g0 = jnp.minimum(bins_g0, bins[:, s - 3:s - 2])

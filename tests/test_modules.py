@@ -37,7 +37,20 @@ def test_mlp_output_init_and_activation():
     x = jnp.ones((2, 4))
     params = mlp.init(jax.random.PRNGKey(0), x)['params']
     out = mlp.apply({'params': params}, x)
-    np.testing.assert_allclose(np.asarray(out), 0.5)  # sigmoid(0)
+    # Zero output weights leave only the torch-default bias
+    # (U(+-1/sqrt(8)), the reference's un-re-initialized nn.Linear bias),
+    # so the sigmoid output sits within that bound of 0.5.
+    bound = jax.nn.sigmoid(1.0 / np.sqrt(8)) - 0.5
+    assert np.abs(np.asarray(out) - 0.5).max() <= bound + 1e-6
+    assert np.abs(np.asarray(params['logit']['bias'])).max() > 0.0
+
+    zb = MLP(out_ch=3, depth=1, width=8,
+             output_init=jax.nn.initializers.zeros,
+             torch_default_bias=False,
+             output_activation=jax.nn.sigmoid)
+    zparams = zb.init(jax.random.PRNGKey(0), x)['params']
+    np.testing.assert_allclose(np.asarray(zb.apply({'params': zparams}, x)),
+                               0.5)  # sigmoid(0)
 
 
 def test_glo_embed_init_std_and_squeeze():
@@ -79,24 +92,36 @@ def test_nerf_mlp_shapes_and_conditions():
 
 
 def test_hyper_sheet_mlp_near_zero_at_init():
-    """Output init std 1e-5 -> hyper coords start ~0 (modules.py:320)."""
+    """Output init std 1e-5 (modules.py:320) + the reference's
+    un-re-initialized output bias U(+-1/sqrt(width)): at init the hyper
+    coords are a small PER-CHANNEL CONSTANT (the bias), not exactly zero —
+    faithful to the reference's actual init (its weight-only re-init
+    loop, modules.py:105-109)."""
     mlp = HyperSheetMLP(out_ch=4, depth=2, width=16, skips=(1,))
     pts = jnp.ones((3, 5, 3)) * 0.3
     embed = jnp.ones((3, 5, 8)) * 0.1
     params = mlp.init(jax.random.PRNGKey(0), pts, embed)['params']
-    out = mlp.apply({'params': params}, pts, embed)
+    out = np.asarray(mlp.apply({'params': params}, pts, embed))
     assert out.shape == (3, 5, 4)
-    assert np.abs(np.asarray(out)).max() < 1e-2
+    assert np.abs(out).max() <= 1.0 / np.sqrt(16) + 1e-3
+    # Constant across points: the weight contribution is ~1e-5.
+    assert np.abs(out - out[0, 0]).max() < 1e-3
 
 
 def test_translation_field_near_identity_at_init():
+    """uniform(0,1e-4) output weights + the reference's default output bias
+    -> the warp starts as a small CONSTANT translation (|b| <= 1/sqrt(16)
+    here), identical for every point — the reference's actual init."""
     field = TranslationField(depth=2, width=16, skips=(1,))
     pts = jnp.asarray(np.random.RandomState(0).randn(4, 6, 3), jnp.float32)
     embed = jnp.ones((4, 6, 8)) * 0.05
     params = field.init(jax.random.PRNGKey(0), pts, embed)['params']
     out = field.apply({'params': params}, pts, embed)
-    delta = np.abs(np.asarray(out['warped_points']) - np.asarray(pts))
-    assert delta.max() < 1e-2  # uniform(0,1e-4) output init keeps it tiny
+    delta = np.asarray(out['warped_points']) - np.asarray(pts)
+    assert np.abs(delta).max() <= 1.0 / np.sqrt(16) + 1e-3
+    # The shift is near-constant across points (bias-dominated; the
+    # uniform(0,1e-4) weight term contributes ~1e-3).
+    assert np.abs(delta - delta[0, 0]).max() < 5e-3
 
 
 def test_translation_field_jacobian():

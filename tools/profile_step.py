@@ -50,11 +50,93 @@ def parse_xplane(trace_dir):
     return totals  # name -> total ms
 
 
+_SHAPE_RE = None
+
+
+def _parse_operands(hlo_text):
+    """Extract (dtype, dims) for every operand of a custom-call HLO string.
+
+    The xplane op name is the full HLO instruction text; its operand list
+    sits inside ``custom-call(...)``. Returns [] for non-custom-calls.
+    """
+    import re
+    global _SHAPE_RE
+    if _SHAPE_RE is None:
+        _SHAPE_RE = re.compile(r'(f32|bf16|s32|u32)\[([\d,]*)\]')
+    m = re.search(r'custom-call\((.*?)\), custom_call_target', hlo_text,
+                  re.DOTALL)
+    if not m:
+        return []
+    out = []
+    for dt, dims in _SHAPE_RE.findall(m.group(1)):
+        out.append((dt, tuple(int(d) for d in dims.split(',') if d)))
+    return out
+
+
+def mxu_report(per_step, peak_tflops):
+    """Analytic per-kernel MXU utilization for the fused level kernels.
+
+    The Pallas kernels are opaque custom calls — XLA cost analysis assigns
+    them zero FLOPs and the standard trace carries no hardware counters —
+    so utilization is derived from first principles: every weight matrix a
+    kernel consumes is visible in its HLO operand list, each contributes
+    exactly 2*N*in*out MXU FLOPs per pass over N samples (the kernels do
+    nothing else on the MXU except the cheap posenc band expansion), and
+    backward kernels run 3 passes (fwd recompute + dX + dW; the outputs
+    tuple full of weight-shaped fp32 gradients identifies them). N comes
+    from the largest leading dim among activation operands.
+    """
+    rows = []
+    for name, ms in per_step.items():
+        if '_render_level_fused' not in name or 'custom-call' not in name:
+            continue
+        operands = _parse_operands(name)
+        if not operands:
+            continue
+        # Weights: 2-D (in, out) with both dims in [8, 512]; biases (1, out)
+        # and activations (N, c) / 3-D tiles are excluded.
+        weights = [d for dt, d in operands
+                   if len(d) == 2 and 8 <= d[0] <= 512 and 8 <= d[1] <= 512]
+        n = max((d[0] for dt, d in operands
+                 if len(d) == 2 and d[0] > 512), default=0)
+        if not weights or not n:
+            continue  # compositing/sampling kernels: VPU-bound, no weights
+        # Backward kernels return the per-weight fp32 gradient accumulators.
+        out_m = name.split('custom-call(')[0]
+        grads = _SHAPE_RE.findall(out_m)
+        n_grad_outs = sum(1 for dt, dims in grads
+                          if dt == 'f32' and len(
+                              tuple(int(x) for x in dims.split(',') if x)) == 2
+                          and 8 <= int(dims.split(',')[0]) <= 512)
+        passes = 3 if n_grad_outs >= 5 else 1
+        flops = passes * sum(2 * a * b for a, b in weights) * n
+        tflops = flops / (ms * 1e-3) / 1e12
+        rows.append((name.split(' = ')[0].strip('% '), ms, n, passes,
+                     flops / 1e9, tflops, 100 * tflops / peak_tflops))
+    print(f'\n# MXU utilization (analytic: operand-derived matmul FLOPs / '
+          f'measured time / {peak_tflops:.0f} TF/s peak)')
+    print(f'{"kernel":44s} {"ms":>7s} {"samples":>9s} {"passes":>6s} '
+          f'{"GFLOP":>8s} {"TFLOP/s":>8s} {"MXU%":>6s}')
+    for r in sorted(rows, key=lambda r: -r[1]):
+        print(f'{r[0]:44s} {r[1]:7.3f} {r[2]:9d} {r[3]:6d} '
+              f'{r[4]:8.1f} {r[5]:8.1f} {r[6]:6.1f}')
+    if rows:
+        tot_ms = sum(r[1] for r in rows)
+        tot_fl = sum(r[4] for r in rows)
+        agg = tot_fl / tot_ms  # GFLOP/ms == TFLOP/s
+        print(f'{"TOTAL (matmul kernels)":44s} {tot_ms:7.3f} {"":9s} {"":6s} '
+              f'{tot_fl:8.1f} {agg:8.1f} {100 * agg / peak_tflops:6.1f}')
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=5)
     ap.add_argument('--batch', type=int, default=8192)
     ap.add_argument('--top', type=int, default=40)
+    ap.add_argument('--mxu', action='store_true',
+                    help='print analytic per-kernel MXU utilization '
+                         '(bf16 peak via --peak_tflops, default v5e 197)')
+    ap.add_argument('--peak_tflops', type=float, default=197.0)
     ap.add_argument('--config', default='flagship',
                     choices=['flagship', 'se3', 'anneal'])
     ap.add_argument('--trace_dir', default=None)
@@ -132,6 +214,8 @@ def main():
     print(f'# total exclusive device time: {total:.1f} ms/step')
     for name, ms in sorted(per_step.items(), key=lambda kv: -kv[1])[:args.top]:
         print(f'{ms:8.3f} ms  {name}')
+    if args.mxu:
+        mxu_report(per_step, args.peak_tflops)
 
 
 if __name__ == '__main__':

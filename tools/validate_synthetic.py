@@ -41,11 +41,17 @@ def main():
                         help='enable occupancy-grid guided coarse sampling')
     parser.add_argument('--N_samples', type=int, default=64)
     parser.add_argument('--N_importance', type=int, default=64)
+    parser.add_argument('--lr_scheduler', type=str, default='cosine',
+                        choices=['cosine', 'steplr', 'poly'],
+                        help="'steplr' with no decay boundary = constant lr "
+                             '(matches reference_on_synthetic, whose torch '
+                             'Adam loop never decays over short runs)')
     parser.add_argument('--glo_dim', type=int, default=None,
                         help='override GLO embedding dim (plane-mode '
                              'head-to-heads use 4 to match the reference, '
                              'whose plane slicing requires GLO_dim == '
                              'hyper_slice_out_dim, models.py:268)')
+    parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--report', type=str, default=None,
                         help='append a JSON result line to this file')
     args = parser.parse_args()
@@ -93,7 +99,10 @@ def main():
         root_dir=args.out, dataset_name='llff',
         img_wh=(args.width, args.height),
         batch_size=args.batch_size, max_steps=args.steps,
-        lr=5e-4, lr_scheduler='cosine', num_epochs=30,
+        seed=args.seed,
+        lr=5e-4, lr_scheduler=args.lr_scheduler,
+        # steplr boundary past the run (epochs) => constant lr; int32-safe.
+        decay_step=(10 ** 5,), num_epochs=30,
         # Coarse-to-fine annealing scaled to the run length (anneal mode).
         warp_alpha_steps=max(1, args.steps // 2),
         hyper_alpha_steps=max(1, args.steps // 8),
