@@ -131,12 +131,14 @@ def quat_warp_vec(w, v, points, small_angle: float = 1e-6):
     safe = jnp.sqrt(jnp.where(sq < small_sq, small_sq, sq))
     axis = w / safe
     sin_t, cos_t = jnp.sin(safe), jnp.cos(safe)
-    # R p = p + sin(t) (a x p) + (1 - cos(t)) (a x (a x p)) — the residual
+    # R p = p + sin(t) (a x p) + (1 - cos(t)) (a (a.p) - p) — the residual
     # Rodrigues form (identity + small terms): numerically tighter at the
     # near-zero-init regime than p cos(t) + ..., for values AND for the
-    # in-kernel VJP.
+    # in-kernel VJP. The unit-axis identity a x (a x p) = a (a.p) - p saves
+    # one lane-starved (T, 3) cross inside the fused kernels.
+    ap = jnp.sum(axis * points, axis=-1, keepdims=True)
     axp = _cross3(axis, points)
-    rp = points + sin_t * axp + (1.0 - cos_t) * _cross3(axis, axp)
+    rp = points + sin_t * axp + (1.0 - cos_t) * (axis * ap - points)
     warped = rp + v
     return jnp.where(sq <= small_sq, points + v, warped)
 
@@ -165,15 +167,23 @@ def quat_warp_vec_bwd(w, v, points, g, small_angle: float = 1e-6):
     a = w / safe
     sin_t, cos_t = jnp.sin(safe), jnp.cos(safe)
 
+    # Unit-axis triple-product identities (see rigid_body.se3_warp_vec_bwd):
+    # 3 crosses instead of 6 — crosses are the dominant lane-starved VPU
+    # cost inside the fused fields-backward kernel.
+    ag = jnp.sum(a * g, axis=-1, keepdims=True)
+    ap = jnp.sum(a * points, axis=-1, keepdims=True)
+    pg = jnp.sum(points * g, axis=-1, keepdims=True)
+    one_m_cos = 1.0 - cos_t
+
     axg = _cross3(a, g)
-    # d_p = R^T g = g - sin(t) (a x g) + (1-cos(t)) (a x (a x g)).
-    d_p = g - sin_t * axg + (1.0 - cos_t) * _cross3(a, axg)
+    # d_p = R^T g = g - sin(t) (a x g) + (1-cos(t)) (a (a.g) - g).
+    d_p = g - sin_t * axg + one_m_cos * (a * ag - g)
 
     axp = _cross3(a, points)
     d_a = (sin_t * _cross3(points, g)
-           + (1.0 - cos_t) * (_cross3(axp, g) - _cross3(points, axg)))
+           + one_m_cos * (points * ag - 2.0 * a * pg + g * ap))
     d_t = (cos_t * jnp.sum(axp * g, axis=-1, keepdims=True)
-           + sin_t * jnp.sum(_cross3(a, axp) * g, axis=-1, keepdims=True))
+           + sin_t * (ap * ag - pg))
     d_w = a * d_t + (d_a - a * jnp.sum(a * d_a, axis=-1, keepdims=True)) / safe
 
     zero = jnp.zeros_like(g)

@@ -133,15 +133,22 @@ def se3_warp_vec(w, v, points):
     """
     theta = jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True))
     safe = jnp.maximum(theta, _SMALL_ANGLE)
-    w_u = w / safe
-    v_u = v / safe
+    a = w / safe
     sin_t, cos_t = jnp.sin(safe), jnp.cos(safe)
-    # R p = p + sin(t) (w x p) + (1 - cos(t)) (w x (w x p))
-    wxp = _cross(w_u, points)
-    rp = points + sin_t * wxp + (1.0 - cos_t) * _cross(w_u, wxp)
-    # G v = t v + (1 - cos(t)) (w x v) + (t - sin(t)) (w x (w x v))
-    wxv = _cross(w_u, v_u)
-    gv = safe * v_u + (1.0 - cos_t) * wxv + (safe - sin_t) * _cross(w_u, wxv)
+    one_m_cos = 1.0 - cos_t
+    # Unit-axis triple-product identity: a x (a x x) = a (a.x) - x. Halves
+    # the cross-product count (2 instead of 4) — inside the fused kernels
+    # every (T, 3) op is lane-starved VPU work, so crosses dominate the
+    # retraction cost (see BENCHMARKS.md round-3 MXU table).
+    ap = jnp.sum(a * points, axis=-1, keepdims=True)
+    av = jnp.sum(a * v, axis=-1, keepdims=True)
+    axp = _cross(a, points)
+    axv = _cross(a, v)
+    # R p = p + sin(t) (a x p) + (1 - cos(t)) (a (a.p) - p)
+    rp = points + sin_t * axp + one_m_cos * (a * ap - points)
+    # G v = v + b1 (a x v) + b2 (a (a.v) - v), b1 = (1-cos)/t, b2 = (t-sin)/t
+    gv = (v + (one_m_cos / safe) * axv
+          + ((safe - sin_t) / safe) * (a * av - v))
     warped = rp + gv
     # theta -> 0: pure translation by the raw v (matches exp_se3_from_wv).
     return jnp.where(theta <= _SMALL_ANGLE, points + v, warped)
@@ -171,8 +178,17 @@ def se3_warp_vec_bwd(w, v, points, g):
     b1 = one_m_cos / safe
     b2 = (safe - sin_t) / safe
 
+    # Unit-axis triple-product identities keep the cross count at 5 (was
+    # 12): a x (a x x) = a (a.x) - x; (a x p) x g - p x (a x g)
+    # = p (a.g) - 2 a (p.g) + g (a.p); <a x (a x p), g> = (a.p)(a.g) - p.g.
+    ag = jnp.sum(a * g, axis=-1, keepdims=True)
+    ap = jnp.sum(a * points, axis=-1, keepdims=True)
+    av = jnp.sum(a * v, axis=-1, keepdims=True)
+    pg = jnp.sum(points * g, axis=-1, keepdims=True)
+    vg = jnp.sum(v * g, axis=-1, keepdims=True)
+
     axg = _cross(a, g)
-    a_axg = _cross(a, axg)
+    a_axg = a * ag - g
     # d_p = R^T g;  d_v = G^T g  (transposes flip the sign of the A term).
     d_p = g - sin_t * axg + one_m_cos * a_axg
     d_v = g - b1 * axg + b2 * a_axg
@@ -180,16 +196,16 @@ def se3_warp_vec_bwd(w, v, points, g):
     axp = _cross(a, points)
     axv = _cross(a, v)
     d_a = (sin_t * _cross(points, g)
-           + one_m_cos * (_cross(axp, g) - _cross(points, axg))
+           + one_m_cos * (points * ag - 2.0 * a * pg + g * ap)
            + b1 * _cross(v, g)
-           + b2 * (_cross(axv, g) - _cross(v, axg)))
+           + b2 * (v * ag - 2.0 * a * vg + g * av))
     # db1/dt = sin/t - (1-cos)/t^2; db2/dt = (sin - t cos)/t^2.
     b1p = sin_t / safe - one_m_cos / (safe * safe)
     b2p = (sin_t - safe * cos_t) / (safe * safe)
     d_t = (cos_t * jnp.sum(axp * g, axis=-1, keepdims=True)
-           + sin_t * jnp.sum(_cross(a, axp) * g, axis=-1, keepdims=True)
+           + sin_t * (ap * ag - pg)
            + b1p * jnp.sum(axv * g, axis=-1, keepdims=True)
-           + b2p * jnp.sum(_cross(a, axv) * g, axis=-1, keepdims=True))
+           + b2p * (av * ag - vg))
     d_w = a * d_t + (d_a - a * jnp.sum(a * d_a, axis=-1, keepdims=True)) / safe
 
     zero = jnp.zeros_like(g)

@@ -52,6 +52,13 @@ def main():
                              'whose plane slicing requires GLO_dim == '
                              'hyper_slice_out_dim, models.py:268)')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--compute_dtype', type=str, default=None,
+                        choices=[None, 'bfloat16', 'float32'],
+                        help='matmul dtype override. Head-to-heads vs the '
+                             'torch reference must use float32: the torch '
+                             'side trains in full f32, and at h2h scale '
+                             '(40x30, 400 steps) bf16 matmul noise costs '
+                             'several dB of val PSNR (BENCHMARKS.md r3)')
     parser.add_argument('--report', type=str, default=None,
                         help='append a JSON result line to this file')
     args = parser.parse_args()
@@ -72,6 +79,8 @@ def main():
                   num_fine_samples=args.N_importance)
     if args.glo_dim is not None:
         common.update(glo_dim=args.glo_dim)
+    if args.compute_dtype is not None:
+        common.update(compute_dtype=args.compute_dtype)
     if args.occupancy:
         # The synthetic LLFF scene lives in NDC; the unit cube covers it.
         common.update(use_occupancy_grid=True,
