@@ -286,12 +286,11 @@ class NerfModel(nn.Module):
         if cfg.warp_field_type != 'translation':
             # The hand-derived retraction VJPs (ops/rigid_body.
             # se3_warp_vec_bwd, ops/quaternion.quat_warp_vec_bwd) replaced
-            # the in-kernel jax.vjp residual stash and lifted the
-            # SE(3)/quaternion fields-backward tile from 256 to 512; 1024
-            # still exceeds scoped VMEM (26.5M vs 16M — the lane-padded
-            # (T, 3) retraction temporaries plus the two extra head layers
-            # on top of the warp+hyper activation stash).
-            bwd_tile = min(bwd_tile, 512)
+            # the in-kernel jax.vjp residual stash, and the raised scoped
+            # VMEM limit (ops/pallas/common.py) admits tile 1024 (~24.5M).
+            # Measured on TPU: 1024 is throughput-equal to 512 (49.3k
+            # rays/s se3) — the fields backward is no longer tile-bound.
+            bwd_tile = min(bwd_tile, 1024)
         tmpl_bwd_tile = FusedLevelSpec._field_defaults['tmpl_bwd_tile']
         have_rays = (origins is not None and directions is not None
                      and z_vals is not None)

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hypernerf_tpu.ops.pallas.common import vmem_params
+
 OUT_PAD = 8  # per-ray packed outputs [rgb(3) | depth | med | acc | 0 0]
 
 
@@ -409,6 +411,7 @@ def _fused(spec, packed, z, dnorm, noise, u):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=sp.interpret,
+        compiler_params=vmem_params(sp.interpret),
     )(*ray_in)
     z_union = (outs[2].reshape(b, sp.samples + sp.fine_samples)
                if sp.fine_samples else None)
@@ -448,6 +451,7 @@ def _fused_bwd(spec, res, g):
         out_specs=grad_specs,
         out_shape=out_shapes,
         interpret=sp.interpret,
+        compiler_params=vmem_params(sp.interpret),
     )(*ray_in)
     d_packed = outs[0].reshape(packed.shape)
     d_z = outs[1].reshape(z.shape)

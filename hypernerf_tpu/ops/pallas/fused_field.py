@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hypernerf_tpu.ops.pallas.common import vmem_params
+
 LANE = 128
 OUT_PAD = 8
 
@@ -394,6 +396,7 @@ def _fused(spec, x_raw, scales, padded_flat):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, OUT_PAD), jnp.float32),
         interpret=spec.interpret,
+        compiler_params=vmem_params(spec.interpret),
     )(x_raw, *s_in, *w_in)
 
 
@@ -429,6 +432,7 @@ def _fused_bwd(spec, res, g):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=spec.interpret,
+        compiler_params=vmem_params(spec.interpret),
     )(x_raw, *s_in, g, *w_in)
     dx = outs[0].astype(x_raw.dtype)
     dflat = tuple(outs[1 + k].astype(padded_flat[k].dtype)

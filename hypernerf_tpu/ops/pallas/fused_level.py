@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hypernerf_tpu.ops.pallas.common import vmem_params
+
 from hypernerf_tpu.ops.pallas import fused_field as ff
 from hypernerf_tpu.ops.pallas import fused_mlp as fm
 from hypernerf_tpu.ops.pallas import fused_se3 as fs3
@@ -94,7 +96,10 @@ class FusedLevelSpec(NamedTuple):
     # raw input (warped|hyper) so neither backward recomputes the other's
     # forward chain.
     split_bwd: bool = True
-    tmpl_bwd_tile: int = 512
+    # 1024 needs ~19M scoped VMEM — above Mosaic's 16M default, admitted by
+    # the raised limit in common.py. Measured on TPU: 512 -> 1024 lifts the
+    # flagship 65.2k -> 66.4k rays/s.
+    tmpl_bwd_tile: int = 1024
     # When >0, rgb/alpha conditions are PER-RAY rows (P // cond_samples),
     # expanded in-kernel; see fused_mlp.FusedMLPSpec.cond_samples.
     cond_samples: int = 0
@@ -620,6 +625,7 @@ def _fields_bwd_call(spec: FusedLevelSpec, x_raw, od, emb, dx_t,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=s.interpret,
+        compiler_params=vmem_params(s.interpret),
     )(x_raw, *ray_in, *sc_in, dx_t, *w_in)
     if s.cond_samples:
         outs = list(outs)
@@ -675,6 +681,7 @@ def _fused(spec, x_raw, od, emb, rgbc, alphac, warp_scales, tmpl_scales,
         out_shape=[jax.ShapeDtypeStruct((p, OUT_PAD), jnp.float32),
                    jax.ShapeDtypeStruct((p, fm.RAW_PAD), jnp.float32)],
         interpret=s.interpret,
+        compiler_params=vmem_params(s.interpret),
     )(*data_in, *wsc_in, *sc_in, *w_in)
 
 
@@ -739,6 +746,7 @@ def _fused_bwd(spec, res, g):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=s.interpret,
+        compiler_params=vmem_params(s.interpret),
     )(*data_in, *w_in)
     dx = outs[0].astype(x_raw.dtype)
     o = 1

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hypernerf_tpu.ops.pallas.common import vmem_params
+
 LANE = 128
 RAW_PAD = 8  # minimum raw-point lane padding (see raw_pad_for)
 
@@ -602,6 +604,7 @@ def _fwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, 8), jnp.float32),
         interpret=s.interpret,
+        compiler_params=vmem_params(s.interpret),
     )(*data_in, *w_in)
     return out
 
@@ -680,6 +683,7 @@ def _bwd_call(spec: FusedMLPSpec, x_pad, rgbc_pad, alphac_pad, padded_wbs, g,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=s.interpret,
+        compiler_params=vmem_params(s.interpret),
     )(*data_in, *w_in)
     if s.cond_samples:
         # Un-tile the per-ray cond grads back to (R, C).

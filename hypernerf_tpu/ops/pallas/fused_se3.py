@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hypernerf_tpu.ops.pallas.common import vmem_params
+
 from hypernerf_tpu.ops.pallas.fused_field import (LANE, _band_matrix, _dot,
                                                   _dot_acc, _dot_t, _rup)
 
@@ -327,6 +329,7 @@ def _fused(spec, x_raw, scales, padded_flat):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, OUT_PAD), jnp.float32),
         interpret=s.interpret,
+        compiler_params=vmem_params(s.interpret),
     )(x_raw, *sc_in, *w_in)
 
 
@@ -363,6 +366,7 @@ def _fused_bwd(spec, res, g):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=s.interpret,
+        compiler_params=vmem_params(s.interpret),
     )(x_raw, *sc_in, g, *w_in)
     dx = outs[0].astype(x_raw.dtype)
     dflat = tuple(outs[1 + k].astype(padded_flat[k].dtype)

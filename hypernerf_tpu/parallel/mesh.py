@@ -32,13 +32,40 @@ def create_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def _put(tree, sharding, from_process_local: bool):
+    """device_put on one host; process-local assembly on a multi-host pod.
+
+    ``jax.device_put`` requires every target device to be addressable, so on
+    a multi-host pod (parallel/distributed.py) the dataset buffers must be
+    assembled with ``jax.make_array_from_process_local_data`` instead: every
+    process holds the full host array (the LLFF/Blender loaders read the
+    whole scene on each host), passes it with an explicit ``global_shape``,
+    and JAX maps each addressable device onto its slice — full rows for a
+    replicated P() sharding, the device's sub-batch for P('data').
+    """
+    if not from_process_local:
+        return jax.device_put(tree, sharding)
+
+    def put_leaf(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=x.shape)
+
+    return jax.tree_util.tree_map(put_leaf, tree)
+
+
 def replicate(mesh: Mesh, tree):
-    """Put a pytree on the mesh fully replicated."""
+    """Put a pytree on the mesh fully replicated (multi-host aware)."""
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    return _put(tree, sharding, jax.process_count() > 1)
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Put a pytree on the mesh sharded along the leading (batch) axis."""
+    """Put a pytree on the mesh sharded along the leading (batch) axis.
+
+    On a multi-host pod every process passes the identical full batch and
+    receives only its devices' shards (make_array_from_process_local_data
+    with global_shape == local shape).
+    """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.device_put(tree, sharding)
+    return _put(tree, sharding, jax.process_count() > 1)

@@ -85,3 +85,22 @@ def test_shard_batch_and_replicate():
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(x))
     rep = replicate(mesh, {'a': x})
     np.testing.assert_array_equal(np.asarray(rep['a']), np.asarray(x))
+
+
+def test_process_local_data_path_matches_device_put():
+    """The multi-host pod path (make_array_from_process_local_data) must
+    assemble the same global arrays as plain device_put: same values, same
+    shardings, for both the replicated dataset buffers and a sharded batch.
+    Single-process here, but the API path is identical on a pod."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hypernerf_tpu.parallel.mesh import DATA_AXIS, _put, create_mesh
+    mesh = create_mesh()
+    x = np.arange(32.0, dtype=np.float32).reshape(16, 2)
+    for spec in (P(), P(DATA_AXIS)):
+        sharding = NamedSharding(mesh, spec)
+        via_local = _put({'a': x}, sharding, True)['a']
+        via_put = _put({'a': jnp.asarray(x)}, sharding, False)['a']
+        np.testing.assert_array_equal(np.asarray(via_local),
+                                      np.asarray(via_put))
+        assert via_local.sharding.is_equivalent_to(via_put.sharding, x.ndim)
