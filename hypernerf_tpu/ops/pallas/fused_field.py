@@ -141,44 +141,66 @@ def encoding_scales(segments, alphas, dtype=jnp.float32):
     return jnp.pad(flat, (0, _rup(enc_ch, LANE) - enc_ch))[None, :]
 
 
-def _encode(spec: FusedFieldSpec, x, scales=None):
+def _encode(spec: FusedFieldSpec, x, scales=None, trig=None,
+            return_trig=False):
     """Per-segment posenc in VMEM; returns (T, enc_pad) compute-dtype.
 
     ``scales``: optional (1, enc_pad) fp32 per-feature window weights.
+    ``trig``: optional per-segment [(sin_xb, cos_xb) fp32 | None] — reuses
+    band trig already computed on the same points (e.g. the hyper sheet
+    slicing the warp field's lower bands) instead of evaluating sin/cos.
+    ``return_trig`` additionally returns that list for this call, so the
+    backward (``_encode_bwd``) can reuse the fp32 values the recompute
+    already produced — bit-identical and roughly half the kernel's
+    transcendentals.
     """
     dt = jnp.dtype(spec.compute_dtype)
     parts = []
+    trig_out = []
     start = 0
-    for seg in spec.segments:
+    for k, seg in enumerate(spec.segments):
         ch, n_freq, min_deg, ident = norm_seg(seg)
         seg_x = x[:, start:start + ch].astype(jnp.float32)
         start += ch
         if n_freq == 0:
             parts.append(seg_x.astype(dt))
+            trig_out.append(None)
             continue
-        xb = jax.lax.dot_general(
-            seg_x, _band_matrix(ch, n_freq, min_deg),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        if trig is not None and trig[k] is not None:
+            sin_xb, cos_xb = trig[k]
+        else:
+            xb = jax.lax.dot_general(
+                seg_x, _band_matrix(ch, n_freq, min_deg),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            sin_xb, cos_xb = jnp.sin(xb), jnp.cos(xb)
+        trig_out.append((sin_xb, cos_xb))
         if ident:
             parts.append(seg_x.astype(dt))
-        parts += [jnp.sin(xb).astype(dt), jnp.cos(xb).astype(dt)]
+        parts += [sin_xb.astype(dt), cos_xb.astype(dt)]
     pad = spec.enc_pad - spec.enc_ch
     if pad:
         parts.append(jnp.zeros((x.shape[0], pad), dt))
     enc = jnp.concatenate(parts, axis=-1)
     if scales is not None:
         enc = (enc.astype(jnp.float32) * scales.astype(jnp.float32)).astype(dt)
+    if return_trig:
+        return enc, trig_out
     return enc
 
 
-def _encode_bwd(spec: FusedFieldSpec, x, g_enc, scales=None):
-    """VJP of _encode: (T, enc_pad) cotangent -> (T, raw_ch)."""
+def _encode_bwd(spec: FusedFieldSpec, x, g_enc, scales=None, trig=None):
+    """VJP of _encode: (T, enc_pad) cotangent -> (T, raw_ch).
+
+    ``trig``: optional per-segment [(sin_xb, cos_xb) fp32 | None] from the
+    forward recompute (``_encode(..., return_trig=True)``) — skips
+    re-evaluating the band matmul and sin/cos with bit-identical results.
+    """
     if scales is not None:
         g_enc = g_enc.astype(jnp.float32) * scales.astype(jnp.float32)
     parts = []
     start_raw = 0
     start_enc = 0
-    for seg in spec.segments:
+    for k, seg in enumerate(spec.segments):
         ch, n_freq, min_deg, ident = norm_seg(seg)
         seg_x = x[:, start_raw:start_raw + ch].astype(jnp.float32)
         start_raw += ch
@@ -189,12 +211,16 @@ def _encode_bwd(spec: FusedFieldSpec, x, g_enc, scales=None):
             parts.append(g_seg)
             continue
         band = _band_matrix(ch, n_freq, min_deg)
-        xb = jax.lax.dot_general(seg_x, band, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        if trig is not None and trig[k] is not None:
+            sin_xb, cos_xb = trig[k]
+        else:
+            xb = jax.lax.dot_general(seg_x, band, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            sin_xb, cos_xb = jnp.sin(xb), jnp.cos(xb)
         off = ch if ident else 0
         g_sin = g_seg[:, off:off + n_freq * ch]
         g_cos = g_seg[:, off + n_freq * ch:]
-        flat = jnp.cos(xb) * g_sin - jnp.sin(xb) * g_cos
+        flat = cos_xb * g_sin - sin_xb * g_cos
         # Contract back with the band matrix (freqs folded in) on the MXU.
         dx = jax.lax.dot_general(flat, band, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -253,9 +279,12 @@ def _dot_acc(h, g):
                                preferred_element_type=jnp.float32)
 
 
-def _forward_tile(spec: FusedFieldSpec, x_raw, wbs, scales=None):
+def _forward_tile(spec: FusedFieldSpec, x_raw, wbs, scales=None, trig=None):
+    """One tile forward. ``trig`` optionally injects precomputed band
+    sin/cos (see _encode); the returned tuple carries this tile's trig so
+    backward passes can reuse it."""
     dt = jnp.dtype(spec.compute_dtype)
-    enc = _encode(spec, x_raw, scales)
+    enc, trig = _encode(spec, x_raw, scales, trig=trig, return_trig=True)
     ins, outs = [], []
     h = enc
     for i in range(spec.depth):
@@ -269,7 +298,7 @@ def _forward_tile(spec: FusedFieldSpec, x_raw, wbs, scales=None):
     w, b = wbs[spec.depth]
     logit_in = h
     out = _dot(h, w) + b.astype(jnp.float32)  # (T, OUT_PAD) fp32
-    return enc, ins, outs, logit_in, out
+    return enc, trig, ins, outs, logit_in, out
 
 
 def _make_fwd_kernel(spec: FusedFieldSpec, n_layers: int):
@@ -287,19 +316,20 @@ def _make_fwd_kernel(spec: FusedFieldSpec, n_layers: int):
 
 
 def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None,
-                   scales=None):
+                   scales=None, trig=None):
     """Recompute + backprop one tile (pure values, reusable by other kernels).
 
     ``fwd_vals`` may carry a precomputed ``_forward_tile`` result to avoid a
     duplicate recompute when the caller already ran the forward in this tile.
+    ``trig`` optionally injects shared band sin/cos into the recompute.
 
     Returns (dx_raw (T, raw_ch) fp32, [(dW, db) fp32 per layer]).
     """
     s = spec
     dt = jnp.dtype(s.compute_dtype)
     if fwd_vals is None:
-        fwd_vals = _forward_tile(s, x_raw, wbs, scales)
-    enc, ins, outs, logit_in, _ = fwd_vals
+        fwd_vals = _forward_tile(s, x_raw, wbs, scales, trig=trig)
+    enc, trig, ins, outs, logit_in, _ = fwd_vals
     t = x_raw.shape[0]
     grads = [None] * (s.depth + 1)
 
@@ -324,7 +354,8 @@ def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None,
             g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
             gh = gh[:, :s.w_pad]
     g_enc_acc += gh.astype(jnp.float32)
-    dx_raw = _encode_bwd(s, x_raw[:, :s.raw_ch], g_enc_acc, scales)
+    dx_raw = _encode_bwd(s, x_raw[:, :s.raw_ch], g_enc_acc, scales,
+                         trig=trig)
     return dx_raw, grads
 
 

@@ -276,6 +276,30 @@ def _warp_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
     return _warp_fwd_tile(spec, pts, raw_f, warp_wbs, warp_scales)[0]
 
 
+def _hyper_trig_from_warp(spec: FusedLevelSpec, warp_vals):
+    """Slice the warp encoding's lower bands for the hyper sheet.
+
+    Both fields encode the SAME raw points, and the band-matrix layout
+    groups columns by band, so the hyper sheet's 2^0..2^(F_h-1) sin/cos
+    are the leading 3*F_h columns of the warp field's — whenever the warp
+    encoding covers them (translation: warp_freq >= hyper_sheet_freq;
+    se3/quaternion: min_deg == 0 and enough degrees). Returns the
+    per-segment trig list for hyper_fs, or None when not shareable.
+    Bit-identical: the shared columns are the same K=3 band products.
+    """
+    s = spec
+    fh = s.hyper_sheet_freq
+    if s.warp_type in ('se3', 'quaternion'):
+        if s.se3_min_deg != 0 or s.warp_fs.n_freq < fh:
+            return None
+        sin_w, cos_w = warp_vals[1]
+    else:
+        if s.warp_freq < fh:
+            return None
+        sin_w, cos_w = warp_vals[1][0]
+    return [(sin_w[:, :3 * fh], cos_w[:, :3 * fh]), None]
+
+
 def _forward_values(spec: FusedLevelSpec, x_raw, rgbc, alphac, wbs,
                     warp_scales=None, tmpl_scales=None):
     """The fused chain on one tile; returns (rgb, alpha) raw fp32 heads."""
@@ -283,8 +307,9 @@ def _forward_values(spec: FusedLevelSpec, x_raw, rgbc, alphac, wbs,
     warp_wbs, hyper_wbs, tmpl_wbs = _split_wbs(s, wbs)
     pts = x_raw[:, :3].astype(jnp.float32)
     raw_f = x_raw[:, :3 + s.embed_ch]
-    warped = _warp_tile(s, pts, raw_f, warp_wbs, warp_scales)
-    *_, hyper_out = ff._forward_tile(s.hyper_fs, raw_f, hyper_wbs)
+    warped, warp_vals = _warp_fwd_tile(s, pts, raw_f, warp_wbs, warp_scales)
+    *_, hyper_out = ff._forward_tile(s.hyper_fs, raw_f, hyper_wbs,
+                                     trig=_hyper_trig_from_warp(s, warp_vals))
     hyper = hyper_out[:, :s.hyper_out]
     raw_t = jnp.concatenate([warped, hyper], axis=-1)
     rgb, alpha, _ = fm._forward_tile(s.tmpl_fs, raw_t, rgbc, alphac, tmpl_wbs,
@@ -427,7 +452,9 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
         raw_f = x_raw[:, :3 + s.embed_ch]
         warped, warp_vals = _warp_fwd_tile(s, pts, raw_f, warp_wbs,
                                            warp_scales)
-        hyper_vals = ff._forward_tile(s.hyper_fs, raw_f, hyper_wbs)
+        hyper_vals = ff._forward_tile(s.hyper_fs, raw_f, hyper_wbs,
+                                      trig=_hyper_trig_from_warp(s,
+                                                                 warp_vals))
         hyper = hyper_vals[-1][:, :s.hyper_out]
         raw_t = jnp.concatenate([warped, hyper], axis=-1)
         t = x_raw.shape[0]
@@ -563,13 +590,18 @@ def _make_fields_bwd_kernel(spec: FusedLevelSpec):
         d_warped = dx_t[:, :3]
         d_hyper = dx_t[:, 3:3 + s.hyper_out]
 
+        # Run the warp forward first so the hyper backward's recompute can
+        # slice its band trig (and the warp backward reuses the fwd_vals).
+        _, warp_vals = _warp_fwd_tile(s, pts, raw_f, warp_wbs, warp_scales)
         g_h = jnp.concatenate(
             [d_hyper, jnp.zeros((t, ff.OUT_PAD - s.hyper_out), jnp.float32)],
             axis=-1)
-        d_rawf_h, h_grads = ff._backward_tile(s.hyper_fs, raw_f, g_h,
-                                              hyper_wbs)
+        d_rawf_h, h_grads = ff._backward_tile(
+            s.hyper_fs, raw_f, g_h, hyper_wbs,
+            trig=_hyper_trig_from_warp(s, warp_vals))
         d_pts_w, d_emb_w, w_grads = _warp_bwd_tile(s, pts, raw_f, warp_wbs,
-                                                   d_warped, warp_scales)
+                                                   d_warped, warp_scales,
+                                                   fwd_vals=warp_vals)
 
         d_pts = d_pts_w + d_rawf_h[:, :3]
         d_emb = d_emb_w + d_rawf_h[:, 3:]

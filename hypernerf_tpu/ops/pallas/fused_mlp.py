@@ -316,7 +316,7 @@ def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs,
         from hypernerf_tpu.ops.pallas.fused_field import _encode
         fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
         assert fs.enc_ch == s.in_ch, (fs.enc_ch, s.in_ch)
-        x = _encode(fs, x, enc_scales)
+        x, stash['x_trig'] = _encode(fs, x, enc_scales, return_trig=True)
         # _encode pads to fs.enc_pad == rup(in_ch, 128) == s.in_pad.
         stash['x_enc'] = x
     h = x
@@ -487,7 +487,10 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs,
         from hypernerf_tpu.ops.pallas.fused_field import norm_seg as _ns
         fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
         raw_ch = sum(_ns(seg)[0] for seg in s.enc_segments)
-        dx = _encode_bwd(fs, x[:, :raw_ch], g_x_acc, enc_scales)
+        # Reuse the recompute's fp32 band sin/cos — bit-identical VJP
+        # without a second transcendental pass.
+        dx = _encode_bwd(fs, x[:, :raw_ch], g_x_acc, enc_scales,
+                         trig=st['x_trig'])
     else:
         dx = g_x_acc
     return dx, drgbc, dalphac, grads

@@ -85,10 +85,12 @@ class FusedSE3Spec(NamedTuple):
         return segs
 
 
-def _encode(spec: FusedSE3Spec, x_raw, scales=None):
+def _encode(spec: FusedSE3Spec, x_raw, scales=None, return_trig=False):
     """Nerfies posenc (no identity) over the point segment [+ raw embed].
 
     ``scales``: optional (1, enc_pad) fp32 window row (warp_alpha annealing).
+    ``return_trig`` additionally returns the fp32 (sin_xb, cos_xb) pair so
+    the backward can reuse it (bit-identical, half the transcendentals).
     """
     s = spec
     dt = jnp.dtype(s.compute_dtype)
@@ -98,7 +100,8 @@ def _encode(spec: FusedSE3Spec, x_raw, scales=None):
     xb = jax.lax.dot_general(pts, _band_matrix(3, s.n_freq),
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    parts = [jnp.sin(xb).astype(dt), jnp.cos(xb).astype(dt)]
+    sin_xb, cos_xb = jnp.sin(xb), jnp.cos(xb)
+    parts = [sin_xb.astype(dt), cos_xb.astype(dt)]
     if s.use_metadata:
         parts.append(x_raw[:, 3:3 + s.embed_ch].astype(dt))
     pad = s.enc_pad - s.enc_ch
@@ -108,23 +111,33 @@ def _encode(spec: FusedSE3Spec, x_raw, scales=None):
     if scales is not None:
         enc = (enc.astype(jnp.float32)
                * scales.astype(jnp.float32)).astype(dt)
+    if return_trig:
+        return enc, (sin_xb, cos_xb)
     return enc
 
 
-def _encode_bwd(spec: FusedSE3Spec, x_raw, g_enc, scales=None):
-    """VJP of _encode: -> (T, raw_ch) fp32."""
+def _encode_bwd(spec: FusedSE3Spec, x_raw, g_enc, scales=None, trig=None):
+    """VJP of _encode: -> (T, raw_ch) fp32.
+
+    ``trig``: optional fp32 (sin_xb, cos_xb) from the forward recompute —
+    skips the band matmul and sin/cos with bit-identical results.
+    """
     s = spec
     if scales is not None:
         g_enc = g_enc.astype(jnp.float32) * scales.astype(jnp.float32)
     fc = 3 * s.n_freq
-    pts = x_raw[:, :3].astype(jnp.float32)
     scale = 2.0 ** s.min_deg if s.min_deg else 1.0
     band = _band_matrix(3, s.n_freq)
-    xb = jax.lax.dot_general(pts * scale, band, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    if trig is not None:
+        sin_xb, cos_xb = trig
+    else:
+        pts = x_raw[:, :3].astype(jnp.float32)
+        xb = jax.lax.dot_general(pts * scale, band, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        sin_xb, cos_xb = jnp.sin(xb), jnp.cos(xb)
     g_sin = g_enc[:, :fc].astype(jnp.float32)
     g_cos = g_enc[:, fc:2 * fc].astype(jnp.float32)
-    flat = jnp.cos(xb) * g_sin - jnp.sin(xb) * g_cos
+    flat = cos_xb * g_sin - sin_xb * g_cos
     d_pts = jax.lax.dot_general(flat, band, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
     parts = [d_pts]
@@ -173,7 +186,7 @@ def _pad_params(spec: FusedSE3Spec, pairs):
 def _forward_tile(spec: FusedSE3Spec, x_raw, wbs, scales=None):
     s = spec
     dt = jnp.dtype(s.compute_dtype)
-    enc = _encode(s, x_raw, scales)
+    enc, trig = _encode(s, x_raw, scales, return_trig=True)
     ins, outs = [], []
     h = enc
     for i in range(s.depth):
@@ -192,7 +205,7 @@ def _forward_tile(spec: FusedSE3Spec, x_raw, wbs, scales=None):
     v_w, v_b = wbs[s.depth + 2]
     w_out = _dot(trunk, w_w) + w_b.astype(jnp.float32)
     v_out = _dot(trunk, v_w) + v_b.astype(jnp.float32)
-    return enc, ins, outs, logit_in, trunk, w_out, v_out
+    return enc, trig, ins, outs, logit_in, trunk, w_out, v_out
 
 
 def _backward_tile(spec: FusedSE3Spec, x_raw, g_wv, wbs, scales=None,
@@ -202,7 +215,7 @@ def _backward_tile(spec: FusedSE3Spec, x_raw, g_wv, wbs, scales=None,
     dt = jnp.dtype(s.compute_dtype)
     if fwd_vals is None:
         fwd_vals = _forward_tile(s, x_raw, wbs, scales)
-    enc, ins, outs, logit_in, trunk, _, _ = fwd_vals
+    enc, trig, ins, outs, logit_in, trunk, _, _ = fwd_vals
     t = x_raw.shape[0]
     grads = [None] * s.n_layers
 
@@ -236,7 +249,7 @@ def _backward_tile(spec: FusedSE3Spec, x_raw, g_wv, wbs, scales=None,
             g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
             gh = gh[:, :s.w_pad]
     g_enc_acc += gh.astype(jnp.float32)
-    dx_raw = _encode_bwd(s, x_raw, g_enc_acc, scales)
+    dx_raw = _encode_bwd(s, x_raw, g_enc_acc, scales, trig=trig)
     return dx_raw, grads
 
 

@@ -91,17 +91,23 @@ def from_axis_angle(axis, angle):
     return jnp.concatenate([axis * jnp.sin(half), jnp.cos(half)], axis=-1)
 
 
-def _cross3(a, b):
-    """Cross product on (..., 3) via column slices (no (.., 4) concats —
-    Mosaic rejects jnp.cross / quaternion-width concatenates in kernels)."""
-    a0, a1, a2 = a[..., 0:1], a[..., 1:2], a[..., 2:3]
-    b0, b1, b2 = b[..., 0:1], b[..., 1:2], b[..., 2:3]
+def _cross3(a, b, axis: int = -1):
+    """Cross product on 3-vectors via component slices (no (.., 4) concats —
+    Mosaic rejects jnp.cross / quaternion-width concatenates in kernels).
+    ``axis``: -1 for (..., 3) rows, 0 for component-major (3, T)."""
+    if axis == 0:
+        a0, a1, a2 = a[0:1], a[1:2], a[2:3]
+        b0, b1, b2 = b[0:1], b[1:2], b[2:3]
+    else:
+        a0, a1, a2 = a[..., 0:1], a[..., 1:2], a[..., 2:3]
+        b0, b1, b2 = b[..., 0:1], b[..., 1:2], b[..., 2:3]
     return jnp.concatenate([a1 * b2 - a2 * b1,
                             a2 * b0 - a0 * b2,
-                            a0 * b1 - a1 * b0], axis=-1)
+                            a0 * b1 - a1 * b0], axis=axis)
 
 
-def quat_warp_vec(w, v, points, small_angle: float = 1e-6):
+def quat_warp_vec(w, v, points, small_angle: float = 1e-6,
+                  axis: int = -1):
     """Quaternion rotation + translation warp: R(exp q(w)) p + v.
 
     The quaternion counterpart of rigid_body.se3_warp_vec: ``w`` is a raw
@@ -126,24 +132,25 @@ def quat_warp_vec(w, v, points, small_angle: float = 1e-6):
     """
     # Clamp BEFORE the sqrt: sqrt'(0) is inf and jnp.where evaluates both
     # branches under autodiff, so the gradient must never see sqrt(0).
-    sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    sq = jnp.sum(w * w, axis=axis, keepdims=True)
     small_sq = small_angle * small_angle
     safe = jnp.sqrt(jnp.where(sq < small_sq, small_sq, sq))
-    axis = w / safe
+    a = w / safe
     sin_t, cos_t = jnp.sin(safe), jnp.cos(safe)
     # R p = p + sin(t) (a x p) + (1 - cos(t)) (a (a.p) - p) — the residual
     # Rodrigues form (identity + small terms): numerically tighter at the
     # near-zero-init regime than p cos(t) + ..., for values AND for the
     # in-kernel VJP. The unit-axis identity a x (a x p) = a (a.p) - p saves
     # one lane-starved (T, 3) cross inside the fused kernels.
-    ap = jnp.sum(axis * points, axis=-1, keepdims=True)
-    axp = _cross3(axis, points)
-    rp = points + sin_t * axp + (1.0 - cos_t) * (axis * ap - points)
+    ap = jnp.sum(a * points, axis=axis, keepdims=True)
+    axp = _cross3(a, points, axis)
+    rp = points + sin_t * axp + (1.0 - cos_t) * (a * ap - points)
     warped = rp + v
     return jnp.where(sq <= small_sq, points + v, warped)
 
 
-def quat_warp_vec_bwd(w, v, points, g, small_angle: float = 1e-6):
+def quat_warp_vec_bwd(w, v, points, g, small_angle: float = 1e-6,
+                      axis: int = -1):
     """Hand-derived VJP of ``quat_warp_vec``: g -> (d_w, d_v, d_points).
 
     Recomputes every forward quantity inline instead of stashing
@@ -160,7 +167,7 @@ def quat_warp_vec_bwd(w, v, points, g, small_angle: float = 1e-6):
     d_w = a d_t + (d_a - a <a, d_a>)/t; and d_v = g. At w -> 0 the forward
     degenerates to p + v, so d_p = g, d_w = 0 there.
     """
-    sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    sq = jnp.sum(w * w, axis=axis, keepdims=True)
     small_sq = small_angle * small_angle
     small = sq <= small_sq
     safe = jnp.sqrt(jnp.where(sq < small_sq, small_sq, sq))
@@ -170,21 +177,22 @@ def quat_warp_vec_bwd(w, v, points, g, small_angle: float = 1e-6):
     # Unit-axis triple-product identities (see rigid_body.se3_warp_vec_bwd):
     # 3 crosses instead of 6 — crosses are the dominant lane-starved VPU
     # cost inside the fused fields-backward kernel.
-    ag = jnp.sum(a * g, axis=-1, keepdims=True)
-    ap = jnp.sum(a * points, axis=-1, keepdims=True)
-    pg = jnp.sum(points * g, axis=-1, keepdims=True)
+    ag = jnp.sum(a * g, axis=axis, keepdims=True)
+    ap = jnp.sum(a * points, axis=axis, keepdims=True)
+    pg = jnp.sum(points * g, axis=axis, keepdims=True)
     one_m_cos = 1.0 - cos_t
 
-    axg = _cross3(a, g)
+    axg = _cross3(a, g, axis)
     # d_p = R^T g = g - sin(t) (a x g) + (1-cos(t)) (a (a.g) - g).
     d_p = g - sin_t * axg + one_m_cos * (a * ag - g)
 
-    axp = _cross3(a, points)
-    d_a = (sin_t * _cross3(points, g)
+    axp = _cross3(a, points, axis)
+    d_a = (sin_t * _cross3(points, g, axis)
            + one_m_cos * (points * ag - 2.0 * a * pg + g * ap))
-    d_t = (cos_t * jnp.sum(axp * g, axis=-1, keepdims=True)
+    d_t = (cos_t * jnp.sum(axp * g, axis=axis, keepdims=True)
            + sin_t * (ap * ag - pg))
-    d_w = a * d_t + (d_a - a * jnp.sum(a * d_a, axis=-1, keepdims=True)) / safe
+    d_w = (a * d_t
+           + (d_a - a * jnp.sum(a * d_a, axis=axis, keepdims=True)) / safe)
 
     zero = jnp.zeros_like(g)
     return (jnp.where(small, zero, d_w),

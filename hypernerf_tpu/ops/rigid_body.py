@@ -106,16 +106,22 @@ def exp_se3_from_wv(w, v):
     return jnp.where(small, translate, transform)
 
 
-def _cross(a, b):
-    """Cross product on (..., 3) via column slices (no 3x3 intermediates)."""
-    a0, a1, a2 = a[..., 0:1], a[..., 1:2], a[..., 2:3]
-    b0, b1, b2 = b[..., 0:1], b[..., 1:2], b[..., 2:3]
+def _cross(a, b, axis: int = -1):
+    """Cross product on 3-vectors via component slices (no 3x3
+    intermediates). ``axis`` is the component axis: -1 for (..., 3) rows,
+    0 for component-major (3, T) layouts (full-lane VPU inside kernels)."""
+    if axis == 0:
+        a0, a1, a2 = a[0:1], a[1:2], a[2:3]
+        b0, b1, b2 = b[0:1], b[1:2], b[2:3]
+    else:
+        a0, a1, a2 = a[..., 0:1], a[..., 1:2], a[..., 2:3]
+        b0, b1, b2 = b[..., 0:1], b[..., 1:2], b[..., 2:3]
     return jnp.concatenate([a1 * b2 - a2 * b1,
                             a2 * b0 - a0 * b2,
-                            a0 * b1 - a1 * b0], axis=-1)
+                            a0 * b1 - a1 * b0], axis=axis)
 
 
-def se3_warp_vec(w, v, points):
+def se3_warp_vec(w, v, points, axis: int = -1):
     """exp_se3_from_wv + transform_points in pure vector form.
 
     Identical math to the matrix path (Rodrigues + Modern Robotics 3.88)
@@ -127,11 +133,14 @@ def se3_warp_vec(w, v, points):
     Args:
       w: (..., 3) raw rotation outputs.  v: (..., 3) raw translations.
       points: (..., 3).
+      axis: component axis — -1 for (..., 3) layouts, 0 for component-major
+        (3, T) (the in-kernel layout: (T, 3) ops use 3 of 128 VPU lanes,
+        (3, T) uses them all; results are bit-identical).
 
     Returns:
-      (..., 3) warped points.
+      warped points, same layout as ``points``.
     """
-    theta = jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True))
+    theta = jnp.sqrt(jnp.sum(w * w, axis=axis, keepdims=True))
     safe = jnp.maximum(theta, _SMALL_ANGLE)
     a = w / safe
     sin_t, cos_t = jnp.sin(safe), jnp.cos(safe)
@@ -140,10 +149,10 @@ def se3_warp_vec(w, v, points):
     # the cross-product count (2 instead of 4) — inside the fused kernels
     # every (T, 3) op is lane-starved VPU work, so crosses dominate the
     # retraction cost (see BENCHMARKS.md round-3 MXU table).
-    ap = jnp.sum(a * points, axis=-1, keepdims=True)
-    av = jnp.sum(a * v, axis=-1, keepdims=True)
-    axp = _cross(a, points)
-    axv = _cross(a, v)
+    ap = jnp.sum(a * points, axis=axis, keepdims=True)
+    av = jnp.sum(a * v, axis=axis, keepdims=True)
+    axp = _cross(a, points, axis)
+    axv = _cross(a, v, axis)
     # R p = p + sin(t) (a x p) + (1 - cos(t)) (a (a.p) - p)
     rp = points + sin_t * axp + one_m_cos * (a * ap - points)
     # G v = v + b1 (a x v) + b2 (a (a.v) - v), b1 = (1-cos)/t, b2 = (t-sin)/t
@@ -154,7 +163,7 @@ def se3_warp_vec(w, v, points):
     return jnp.where(theta <= _SMALL_ANGLE, points + v, warped)
 
 
-def se3_warp_vec_bwd(w, v, points, g):
+def se3_warp_vec_bwd(w, v, points, g, axis: int = -1):
     """Hand-derived VJP of ``se3_warp_vec``: g -> (d_w, d_v, d_points).
 
     Recomputes the screw exponential's forward quantities inline instead of
@@ -168,7 +177,7 @@ def se3_warp_vec_bwd(w, v, points, g):
     and pull back through a = w/t: d_w = a d_t + (I - a a^T) d_a / t.
     At t -> 0: warped = p + v, so d_p = d_v = g, d_w = 0.
     """
-    sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    sq = jnp.sum(w * w, axis=axis, keepdims=True)
     eps_sq = _SMALL_ANGLE * _SMALL_ANGLE
     small = sq <= eps_sq
     safe = jnp.sqrt(jnp.where(sq < eps_sq, eps_sq, sq))
@@ -181,32 +190,33 @@ def se3_warp_vec_bwd(w, v, points, g):
     # Unit-axis triple-product identities keep the cross count at 5 (was
     # 12): a x (a x x) = a (a.x) - x; (a x p) x g - p x (a x g)
     # = p (a.g) - 2 a (p.g) + g (a.p); <a x (a x p), g> = (a.p)(a.g) - p.g.
-    ag = jnp.sum(a * g, axis=-1, keepdims=True)
-    ap = jnp.sum(a * points, axis=-1, keepdims=True)
-    av = jnp.sum(a * v, axis=-1, keepdims=True)
-    pg = jnp.sum(points * g, axis=-1, keepdims=True)
-    vg = jnp.sum(v * g, axis=-1, keepdims=True)
+    ag = jnp.sum(a * g, axis=axis, keepdims=True)
+    ap = jnp.sum(a * points, axis=axis, keepdims=True)
+    av = jnp.sum(a * v, axis=axis, keepdims=True)
+    pg = jnp.sum(points * g, axis=axis, keepdims=True)
+    vg = jnp.sum(v * g, axis=axis, keepdims=True)
 
-    axg = _cross(a, g)
+    axg = _cross(a, g, axis)
     a_axg = a * ag - g
     # d_p = R^T g;  d_v = G^T g  (transposes flip the sign of the A term).
     d_p = g - sin_t * axg + one_m_cos * a_axg
     d_v = g - b1 * axg + b2 * a_axg
 
-    axp = _cross(a, points)
-    axv = _cross(a, v)
-    d_a = (sin_t * _cross(points, g)
+    axp = _cross(a, points, axis)
+    axv = _cross(a, v, axis)
+    d_a = (sin_t * _cross(points, g, axis)
            + one_m_cos * (points * ag - 2.0 * a * pg + g * ap)
-           + b1 * _cross(v, g)
+           + b1 * _cross(v, g, axis)
            + b2 * (v * ag - 2.0 * a * vg + g * av))
     # db1/dt = sin/t - (1-cos)/t^2; db2/dt = (sin - t cos)/t^2.
     b1p = sin_t / safe - one_m_cos / (safe * safe)
     b2p = (sin_t - safe * cos_t) / (safe * safe)
-    d_t = (cos_t * jnp.sum(axp * g, axis=-1, keepdims=True)
+    d_t = (cos_t * jnp.sum(axp * g, axis=axis, keepdims=True)
            + sin_t * (ap * ag - pg)
-           + b1p * jnp.sum(axv * g, axis=-1, keepdims=True)
+           + b1p * jnp.sum(axv * g, axis=axis, keepdims=True)
            + b2p * (av * ag - vg))
-    d_w = a * d_t + (d_a - a * jnp.sum(a * d_a, axis=-1, keepdims=True)) / safe
+    d_w = (a * d_t
+           + (d_a - a * jnp.sum(a * d_a, axis=axis, keepdims=True)) / safe)
 
     zero = jnp.zeros_like(g)
     return (jnp.where(small, zero, d_w),
