@@ -74,6 +74,10 @@ def main():
                             'sigma_noise': rng},
                            prepare_ray_dict(jax.numpy.asarray(sample_rays)))
     params = ckpt_lib.load_weights(variables['params'], ckpt_path)
+    # Grid-trained models render through the same grid-guided coarse
+    # sampling they trained with (None for non-grid configs/checkpoints).
+    occupancy = (ckpt_lib.load_occupancy(ckpt_path)
+                 if nerf_cfg.use_occupancy_grid else None)
 
     # Shard full-frame renders over all available chips.
     renderer = ImageRenderer(model, chunk=args.chunk, mesh=create_mesh())
@@ -86,7 +90,8 @@ def main():
     typ = 'fine' if nerf_cfg.num_fine_samples > 0 else 'coarse'
     for i in range(len(dataset)):
         sample = dataset[i]
-        out = renderer(params, sample['rays'], extra_params)
+        out = renderer(params, sample['rays'], extra_params,
+                       occupancy_grid=occupancy)
         img_pred = np.asarray(out[typ]['rgb']).reshape(h, w, 3)
 
         if args.save_depth:

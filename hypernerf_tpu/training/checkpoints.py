@@ -186,6 +186,21 @@ def restore_checkpoint(path: str, state=None):
     return out
 
 
+def load_occupancy(ckpt_path: Optional[str]):
+    """The occupancy grid stored in a full checkpoint, or None.
+
+    Lets eval render a grid-trained model through the same grid-guided
+    coarse sampling distribution it was trained with. Weights-only
+    checkpoints (save_weights_only.py) carry no grid.
+    """
+    if not ckpt_path:
+        return None
+    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt_path))
+    if isinstance(raw, dict) and raw.get('occupancy') is not None:
+        return jax.numpy.asarray(raw['occupancy'])
+    return None
+
+
 def extract_model_params(ckpt_path: str, model_name: str = MODEL_KEY,
                          prefixes_to_ignore: Sequence[str] = ()) -> dict:
     """Load just the model sub-tree from a checkpoint, dropping ignored

@@ -38,48 +38,65 @@ _KEEP = ('rgb', 'depth', 'med_depth', 'acc')
 def make_render_fn(model: NerfModel, chunk: int = 8192, mesh=None):
     """Build a jitted tiled renderer.
 
-    Returns render(params, rays (N, 8|9), extra_params) -> dict. N must be
-    padded to a multiple of ``chunk * n_devices`` by the caller (or use
-    ``render_rays``). One compilation per distinct (N, chunk).
+    Returns render(params, rays (N, 8|9), extra_params, occupancy_grid=None)
+    -> dict. N must be padded to a multiple of ``chunk * n_devices`` by the
+    caller (or use ``render_rays``). One compilation per distinct (N, chunk).
+
+    ``occupancy_grid``: pass a grid-trained model's (G, G, G) grid so
+    val/eval sample through the same grid-guided coarse distribution the
+    model was trained with (replicated across shards).
     """
 
-    def render_slice(params, rays, extra_params):
+    def render_slice(params, rays, extra_params, occupancy_grid):
         n, c = rays.shape
         tiles = rays.reshape(n // chunk, chunk, c)
 
         def render_tile(tile):
             out = model.apply({'params': params}, prepare_ray_dict(tile),
                               extra_params=extra_params,
-                              deterministic=True, return_weights=False)
+                              deterministic=True, return_weights=False,
+                              occupancy_grid=occupancy_grid)
             return {level: {k: v for k, v in res.items() if k in _KEEP}
                     for level, res in out.items()}
 
         out = jax.lax.map(render_tile, tiles)
         return jax.tree.map(lambda x: x.reshape(n, *x.shape[2:]), out)
 
-    if mesh is not None and mesh.devices.size > 1:
-        render_slice = shard_map(
-            render_slice, mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P()),
-            out_specs=P(DATA_AXIS),
-            check_vma=False)
+    def _build(with_grid: bool):
+        fn = render_slice if with_grid else (
+            lambda params, rays, extra_params: render_slice(
+                params, rays, extra_params, None))
+        if mesh is not None and mesh.devices.size > 1:
+            in_specs = (P(), P(DATA_AXIS), P()) + ((P(),) if with_grid
+                                                   else ())
+            fn = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                           out_specs=P(DATA_AXIS), check_vma=False)
+        return jax.jit(fn)
 
-    @jax.jit
-    def render(params, rays, extra_params):
-        return render_slice(params, rays, extra_params)
+    fns = {}
+
+    def render(params, rays, extra_params, occupancy_grid=None):
+        with_grid = occupancy_grid is not None
+        if with_grid not in fns:
+            fns[with_grid] = _build(with_grid)
+        args = (params, rays, extra_params) + (
+            (occupancy_grid,) if with_grid else ())
+        return fns[with_grid](*args)
 
     return render
 
 
 def render_rays(render_fn, params, rays: np.ndarray, pad_to: int,
-                extra_params: Optional[dict] = None
+                extra_params: Optional[dict] = None,
+                occupancy_grid=None
                 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Render an arbitrary ray array, handling padding, returning numpy."""
     n = rays.shape[0]
     pad = (-n) % pad_to
     if pad:
         rays = np.concatenate([rays, np.repeat(rays[-1:], pad, axis=0)], 0)
-    out = render_fn(params, jnp.asarray(rays), extra_params or {})
+    out = render_fn(params, jnp.asarray(rays), extra_params or {},
+                    occupancy_grid)
     out = jax.device_get(out)
     if pad:
         out = jax.tree.map(lambda x: x[:n], out)
@@ -101,6 +118,8 @@ class ImageRenderer:
         self._render_fn = make_render_fn(model, chunk, mesh)
 
     def __call__(self, params, rays: np.ndarray,
-                 extra_params: Optional[dict] = None):
+                 extra_params: Optional[dict] = None,
+                 occupancy_grid=None):
         return render_rays(self._render_fn, params, rays,
-                           self.chunk * self.n_shards, extra_params)
+                           self.chunk * self.n_shards, extra_params,
+                           occupancy_grid)

@@ -141,7 +141,10 @@ class Trainer:
         # (a different function than the one being trained).
         extra_params = compute_extra_params(self.nerf_cfg, self.train_cfg,
                                             step)
-        out = self.renderer(params, sample['rays'], extra_params)
+        # Grid-trained models validate through the same grid-guided coarse
+        # distribution they train with (state.occupancy is None otherwise).
+        out = self.renderer(params, sample['rays'], extra_params,
+                            occupancy_grid=self.state.occupancy)
         typ = 'fine' if 'fine' in out else 'coarse'
         pred = out[typ]['rgb']
         rgbs = sample['rgbs']

@@ -229,3 +229,68 @@ def test_checkpoint_roundtrip_with_occupancy(tmp_path):
     np.testing.assert_allclose(np.asarray(restored.occupancy),
                                np.asarray(state.occupancy))
     assert int(restored.step) == 5
+
+
+def test_renderer_passes_occupancy_grid():
+    """The eval renderer samples through the grid when one is passed:
+    grid-guided output matches a direct model.apply with the grid and
+    differs from the uniform-sampling render (VERDICT r2 item 4 follow-up:
+    grid-trained models validate/eval with their training distribution)."""
+    from hypernerf_tpu.ops.ray_dict import prepare_ray_dict
+    from hypernerf_tpu.training.renderer import ImageRenderer
+
+    nerf_cfg, _ = _tiny_cfgs()
+    model = NerfModel(nerf_cfg)
+    rays = _rays(16)
+    key = jax.random.PRNGKey(0)
+    params = model.init({'params': key, 'sampling': key},
+                        prepare_ray_dict(jnp.asarray(rays[:8])))['params']
+    # A deliberately lopsided grid so the guided z distribution differs.
+    grid = jnp.zeros((8, 8, 8)).at[2:4, 2:4, 2:4].set(5.0)
+
+    renderer = ImageRenderer(model, chunk=16)
+    out_uniform = renderer(params, rays)
+    out_grid = renderer(params, rays, occupancy_grid=grid)
+    direct = model.apply({'params': params},
+                         prepare_ray_dict(jnp.asarray(rays)),
+                         deterministic=True, return_weights=False,
+                         occupancy_grid=grid)
+    np.testing.assert_allclose(out_grid['fine']['rgb'],
+                               np.asarray(direct['fine']['rgb']), atol=1e-6)
+    diff = np.abs(out_grid['fine']['rgb'] - out_uniform['fine']['rgb']).max()
+    assert diff > 1e-7, 'grid had no effect on the rendered output'
+
+    # The shard_map'd renderer threads the replicated grid identically.
+    from hypernerf_tpu.parallel.mesh import create_mesh
+    sharded = ImageRenderer(model, chunk=16, mesh=create_mesh(
+        num_devices=8))(params, rays, occupancy_grid=grid)
+    np.testing.assert_allclose(sharded['fine']['rgb'],
+                               out_grid['fine']['rgb'], atol=1e-6)
+
+
+def test_load_occupancy_from_checkpoint(tmp_path):
+    from hypernerf_tpu.training import checkpoints as ckpt_lib
+    from hypernerf_tpu.training.optimizers import get_optimizer
+    from hypernerf_tpu.training.train_state import create_train_state
+
+    nerf_cfg, train_cfg = _tiny_cfgs()
+    tx = get_optimizer(train_cfg, steps_per_epoch=10)
+    rays = _rays(16)
+    state = create_train_state(NerfModel(nerf_cfg), tx, train_cfg,
+                               jax.random.PRNGKey(0), rays[:8])
+    state = state.replace(occupancy=state.occupancy + 2.0)
+    path = ckpt_lib.save_checkpoint(str(tmp_path), 3, state,
+                                    nerf_config=nerf_cfg,
+                                    train_config=train_cfg)
+    grid = ckpt_lib.load_occupancy(path)
+    np.testing.assert_allclose(np.asarray(grid), np.asarray(state.occupancy))
+    assert ckpt_lib.load_occupancy(None) is None
+
+    # Checkpoints without a grid (non-occupancy run) yield None.
+    no_occ = dataclasses.replace(nerf_cfg, use_occupancy_grid=False)
+    state2 = create_train_state(NerfModel(no_occ), tx, train_cfg,
+                                jax.random.PRNGKey(0), rays[:8])
+    path2 = ckpt_lib.save_checkpoint(str(tmp_path / 'b'), 3, state2,
+                                     nerf_config=no_occ,
+                                     train_config=train_cfg)
+    assert ckpt_lib.load_occupancy(path2) is None

@@ -111,9 +111,9 @@ def test_trainer_validate_threads_anneal_alphas(tmp_path):
     captured = {}
     orig = trainer.renderer.__call__
 
-    def spy(params, rays, extra_params=None):
+    def spy(params, rays, extra_params=None, occupancy_grid=None):
         captured['extra_params'] = extra_params
-        return orig(params, rays, extra_params)
+        return orig(params, rays, extra_params, occupancy_grid)
 
     trainer.renderer = spy
     trainer.validate(step=50, log_images=False)
