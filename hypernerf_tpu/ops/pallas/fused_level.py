@@ -256,6 +256,33 @@ def _wv_retraction_bwd(spec: FusedLevelSpec):
     return rigid_body.se3_warp_vec_bwd
 
 
+def _to_cm(m, rows: int = 3):
+    """(T, c) row-major -> (rows, T) component-major via a lane-padded
+    transpose.
+
+    Inside Mosaic, (T, 3)/(T, 1) retraction math runs at 3/128 lane
+    utilization; transposed to (3, T) it uses full lanes (measured 2.7x fwd
+    / 4.8x bwd on the screw exponential). The transpose itself is cheap at
+    8-lane-multiple widths.
+    """
+    c = m.shape[1]
+    pad = (-c) % 8
+    if pad:
+        m = jnp.concatenate(
+            [m, jnp.zeros((m.shape[0], pad), m.dtype)], axis=-1)
+    return m.T[:rows]
+
+
+def _from_cm(m):
+    """(rows<=8, T) component-major -> (T, rows) row-major."""
+    rows = m.shape[0]
+    pad = (-rows) % 8
+    if pad:
+        m = jnp.concatenate([m, jnp.zeros((pad, m.shape[1]), m.dtype)],
+                            axis=0)
+    return m.T[:, :rows]
+
+
 def _warp_fwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
                    warp_scales=None):
     """(warped points, fwd stash) for one tile (translation, SE(3), or
@@ -266,7 +293,9 @@ def _warp_fwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
                                  scales=warp_scales)
         w_out, v_out = vals[-2], vals[-1]
         retract = _wv_retraction(s)
-        return retract(w_out[:, :3], v_out[:, :3], pts), vals
+        warped_cm = retract(_to_cm(w_out), _to_cm(v_out), _to_cm(pts),
+                            axis=0)
+        return _from_cm(warped_cm), vals
     vals = ff._forward_tile(s.warp_fs, raw_f, warp_wbs)
     return pts + vals[-1][:, :3], vals
 
@@ -375,13 +404,15 @@ def _warp_bwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs, d_warped,
     if s.warp_type in ('se3', 'quaternion'):
         vals = fwd_vals if fwd_vals is not None else fs3._forward_tile(
             s.warp_fs, raw_f, warp_wbs, scales=warp_scales)
-        w3 = vals[-2][:, :3]
-        v3 = vals[-1][:, :3]
-        d_w3, d_v3, d_pts_direct = _wv_retraction_bwd(s)(w3, v3, pts,
-                                                         d_warped)
-        g_wv = jnp.concatenate(
-            [d_w3, d_v3, jnp.zeros((t, fs3.OUT_PAD - 6), jnp.float32)],
-            axis=-1)
+        # Component-major (3, T) retraction backward: full-lane VPU (see
+        # _to_cm); the (T, OUT_PAD) g_wv comes back via one transpose.
+        d_w3, d_v3, d_pts_cm = _wv_retraction_bwd(s)(
+            _to_cm(vals[-2]), _to_cm(vals[-1]), _to_cm(pts),
+            _to_cm(d_warped), axis=0)
+        d_pts_direct = _from_cm(d_pts_cm)
+        g_wv = _from_cm(jnp.concatenate(
+            [d_w3, d_v3,
+             jnp.zeros((fs3.OUT_PAD - 6, t), jnp.float32)], axis=0))
         d_rawf, w_grads = fs3._backward_tile(s.warp_fs, raw_f, g_wv,
                                              warp_wbs, scales=warp_scales,
                                              fwd_vals=vals)
