@@ -14,7 +14,8 @@ Baseline: the reference's implied 4.1k rays/s on a GTX 2080Ti
 ``--mode`` reproduces every showcased variant (docs/VALIDATION.md) as a
 one-liner: flagship (default) | se3 | quaternion | anneal (windowed Nerfies
 encoding) | occupancy (grid-guided 32+32 fast preset, refresh amortized
-into the timed loop).
+into the timed loop) | render / render_occupancy (secs/frame at 504x378 —
+the BASELINE.json third metric — through the production tiled renderer).
 """
 
 from __future__ import annotations
@@ -25,7 +26,15 @@ import time
 
 BASELINE_RAYS_PER_SEC = 4100.0  # 1x 2080Ti, BASELINE.md
 
-MODES = ('flagship', 'se3', 'quaternion', 'anneal', 'occupancy')
+MODES = ('flagship', 'se3', 'quaternion', 'anneal', 'occupancy',
+         'render', 'render_occupancy')
+
+# The reference renders one 504x378 frame through its chunked eval loop in
+# ~30 s on the 2080Ti (190,512 rays / 2048-ray chunks at its ~26k rays/s
+# no-grad forward: 100k steps x 1024 rays / 7h training at 3 fwd + bwd
+# passes ~= 4.1k * 6.3). Conservative derivation; used only for the render
+# modes' vs_baseline ratio.
+BASELINE_SECS_PER_FRAME = 30.0
 
 
 def mode_overrides(mode: str) -> dict:
@@ -35,10 +44,56 @@ def mode_overrides(mode: str) -> dict:
         return dict(warp_field_type='quaternion')
     if mode == 'anneal':
         return dict(use_original_embed=False)
-    if mode == 'occupancy':
+    if mode in ('occupancy', 'render_occupancy'):
         return dict(use_occupancy_grid=True,
                     num_coarse_samples=32, num_fine_samples=32)
     return {}
+
+
+def bench_render(mode: str, cfg, model):
+    """secs/frame at 504x378 (the BASELINE.json third metric): a full-frame
+    forward render through the production tiled renderer (eval.py's path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hypernerf_tpu.ops.ray_dict import prepare_ray_dict
+    from hypernerf_tpu.training.renderer import ImageRenderer
+
+    w, h = 504, 378
+    n_rays = w * h
+    rs = np.random.RandomState(0)
+    origins = np.zeros((n_rays, 3), np.float32)
+    dirs = rs.randn(n_rays, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays = np.concatenate([
+        origins, dirs,
+        np.zeros((n_rays, 1), np.float32),
+        np.ones((n_rays, 1), np.float32),
+        np.zeros((n_rays, 1), np.float32)], 1)
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init({'params': rng, 'sampling': rng, 'sigma_noise': rng},
+                        prepare_ray_dict(jnp.asarray(rays[:8])))['params']
+    grid = None
+    if cfg.use_occupancy_grid:
+        grid = jax.random.uniform(rng, (cfg.occupancy_resolution,) * 3)
+    renderer = ImageRenderer(model, chunk=8192)
+
+    renderer(params, rays, occupancy_grid=grid)  # compile + warm
+    n_frames = 5
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        out = renderer(params, rays, occupancy_grid=grid)
+    # render_rays device_gets internally; out is host numpy already.
+    assert np.isfinite(out['fine']['rgb']).all()
+    secs = (time.perf_counter() - t0) / n_frames
+    print(json.dumps({
+        'metric': 'secs_per_frame_504x378',
+        'value': round(secs, 4),
+        'unit': 's',
+        'vs_baseline': round(BASELINE_SECS_PER_FRAME / secs, 2),
+    }))
 
 
 def main():
@@ -79,6 +134,8 @@ def main():
 
     mesh = create_mesh()
     model = NerfModel(cfg)
+    if args.mode.startswith('render'):
+        return bench_render(args.mode, cfg, model)
     tx = get_optimizer(train_cfg, steps_per_epoch=1000)
 
     # Synthetic device-resident ray buffer (throughput is data-independent).
