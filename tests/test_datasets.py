@@ -171,3 +171,39 @@ def test_pfm_roundtrip(tmp_path):
     save_pfm(path, depth)
     loaded, scale = read_pfm(path)
     np.testing.assert_allclose(loaded, depth, rtol=1e-6)
+
+
+def test_blender_scene_generator_roundtrip(tmp_path):
+    """make_blender_scene output loads through BlenderDataset, and the
+    loader's white-blend of the straight-alpha RGBA reproduces the analytic
+    white-background composite (the LLFF-format GT) for the same pose."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    from make_synthetic_scene import (make_blender_scene, render_image,
+                                      _camera_pose)
+
+    out = str(tmp_path / 'bscene')
+    size, focal, n_frames = 24, 26.0, 3
+    make_blender_scene(out, n_frames=n_frames, size=size, focal=focal)
+
+    ds = BlenderDataset(out, split='train', img_wh=(size, size),
+                        include_idx=True)
+    assert ds.all_rays.shape == (n_frames * size * size, 9)
+    assert ds.near == 2.0 and ds.far == 6.0
+    # The loader's 800px-reference focal math must recover the generator's.
+    np.testing.assert_allclose(ds.focal, focal, rtol=1e-6)
+    # Frame ids are the metadata column.
+    ids = ds.all_rays[:, 8].reshape(n_frames, -1)
+    assert (ids == np.arange(n_frames)[:, None]).all()
+
+    # White-blended loader GT == analytic white-background render (up to
+    # the uint8 quantization of the RGBA png).
+    c2w, _, _ = _camera_pose(0, n_frames)
+    direct = render_image(c2w.astype(np.float32), size, size, focal, 0.0)
+    loader_rgb = ds.all_rgbs[:size * size].reshape(size, size, 3)
+    assert np.abs(loader_rgb - direct).max() < 0.02
+
+    val = BlenderDataset(out, split='val', img_wh=(size, size))
+    sample = val[0]
+    assert sample['rays'].shape == (size * size, 8)
+    assert sample['rgbs'].shape == (size * size, 3)

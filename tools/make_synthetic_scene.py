@@ -52,8 +52,10 @@ def scene_sigma_rgb(points: np.ndarray, t: float):
     return sigma, np.clip(rgb, 0.0, 1.0)
 
 
-def render_image(c2w, h, w, focal, t, near=1.0, far=6.0, n_samples=192):
-    """Dense ray-march through the analytic fields (numpy, exact enough)."""
+def render_fields(c2w, h, w, focal, t, near=1.0, far=6.0, n_samples=192):
+    """Dense ray-march through the analytic fields (numpy, exact enough).
+
+    Returns (premultiplied rgb (h, w, 3), accumulated opacity (h, w))."""
     j, i = np.meshgrid(np.arange(h, dtype=np.float32),
                        np.arange(w, dtype=np.float32), indexing='ij')
     dirs = np.stack([(i - w / 2) / focal, -(j - h / 2) / focal,
@@ -72,9 +74,30 @@ def render_image(c2w, h, w, focal, t, near=1.0, far=6.0, n_samples=192):
     trans = np.concatenate([np.ones_like(trans[..., :1]),
                             trans[..., :-1]], -1)
     weights = alpha * trans
-    img = np.sum(weights[..., None] * rgb, axis=-2)
-    img = img + (1.0 - weights.sum(-1))[..., None]  # white background
+    premult = np.sum(weights[..., None] * rgb, axis=-2)
+    return premult, weights.sum(-1)
+
+
+def render_image(c2w, h, w, focal, t, near=1.0, far=6.0, n_samples=192):
+    """White-background composite of render_fields (the LLFF-format GT)."""
+    premult, acc = render_fields(c2w, h, w, focal, t, near, far, n_samples)
+    img = premult + (1.0 - acc)[..., None]  # white background
     return np.clip(img, 0.0, 1.0)
+
+
+def _camera_pose(k: int, n_frames: int):
+    """Forward-facing look-at arc pose for frame k: (3, 4) right-up-back."""
+    theta = (k / max(1, n_frames - 1) - 0.5) * 0.5
+    cx, cy = 0.8 * np.sin(theta), 0.15 * np.cos(3 * theta)
+    center = np.array([cx, cy, 0.6])
+    # Look-at the static blob.
+    back = center - np.array([0.0, 0.0, -2.5])
+    back = back / np.linalg.norm(back)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up, back)
+    right /= np.linalg.norm(right)
+    up2 = np.cross(back, right)
+    return np.stack([right, up2, back, center], 1), center, up2
 
 
 def make_scene(out_dir: str, n_frames: int = 20, width: int = 160,
@@ -86,18 +109,8 @@ def make_scene(out_dir: str, n_frames: int = 20, width: int = 160,
     poses_bounds = []
     for k in range(n_frames):
         t = k / max(1, n_frames - 1)
-        # Forward-facing camera arc (looking down -z), slight translation.
-        theta = (k / max(1, n_frames - 1) - 0.5) * 0.5
-        cx, cy = 0.8 * np.sin(theta), 0.15 * np.cos(3 * theta)
-        center = np.array([cx, cy, 0.6])
-        # Look-at the static blob.
-        back = center - np.array([0.0, 0.0, -2.5])
-        back = back / np.linalg.norm(back)
-        up = np.array([0.0, 1.0, 0.0])
-        right = np.cross(up, back)
-        right /= np.linalg.norm(right)
-        up2 = np.cross(back, right)
-        c2w = np.stack([right, up2, back, center], 1)  # (3, 4) right-up-back
+        c2w, center, up2 = _camera_pose(k, n_frames)
+        right, back = c2w[:, 0], c2w[:, 2]
 
         img = render_image(c2w.astype(np.float32), height, width, focal, t)
         Image.fromarray((img * 255).astype(np.uint8)).save(
@@ -116,6 +129,50 @@ def make_scene(out_dir: str, n_frames: int = 20, width: int = 160,
     return out_dir
 
 
+def make_blender_scene(out_dir: str, n_frames: int = 20, size: int = 128,
+                       focal: float = 140.0):
+    """The same analytic dynamic scene in NeRF-synthetic (Blender) layout.
+
+    transforms_{train,val,test}.json + RGBA train/r_{k}.png: straight
+    (un-premultiplied) color with alpha = accumulated opacity, so the
+    loader's blend-onto-white (datasets/blender.py _load_rgba, matching
+    /root/reference/datasets/blender.py:58) reproduces the analytic
+    white-background composite exactly. Square images (the Blender loader's
+    constraint, blender.py:20); camera_angle_x chosen so the loader's
+    800px-reference focal math recovers ``focal`` at ``size``. The scene
+    content sits 2.4-4.8 units from the cameras — inside the loader's
+    hardcoded near=2, far=6.
+    """
+    import json as _json
+
+    from PIL import Image
+    img_dir = os.path.join(out_dir, 'train')
+    os.makedirs(img_dir, exist_ok=True)
+
+    frames = []
+    for k in range(n_frames):
+        t = k / max(1, n_frames - 1)
+        c2w, _, _ = _camera_pose(k, n_frames)
+        premult, acc = render_fields(c2w.astype(np.float32), size, size,
+                                     focal, t)
+        straight = np.clip(premult / np.maximum(acc[..., None], 1e-6), 0, 1)
+        rgba = np.concatenate([straight, np.clip(acc, 0, 1)[..., None]], -1)
+        Image.fromarray((rgba * 255).astype(np.uint8), 'RGBA').save(
+            os.path.join(img_dir, f'r_{k}.png'))
+        c2w44 = np.concatenate(
+            [c2w, np.array([[0.0, 0.0, 0.0, 1.0]])], axis=0)
+        frames.append({'file_path': f'./train/r_{k}',
+                       'transform_matrix': c2w44.tolist()})
+
+    meta = {'camera_angle_x': float(2.0 * np.arctan(size / (2.0 * focal))),
+            'frames': frames}
+    for split in ('train', 'val', 'test'):
+        with open(os.path.join(out_dir, f'transforms_{split}.json'),
+                  'w') as f:
+            _json.dump(meta, f)
+    return out_dir
+
+
 if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('--out', type=str, required=True)
@@ -123,6 +180,13 @@ if __name__ == '__main__':
     parser.add_argument('--width', type=int, default=160)
     parser.add_argument('--height', type=int, default=120)
     parser.add_argument('--focal', type=float, default=180.0)
+    parser.add_argument('--format', choices=('llff', 'blender'),
+                        default='llff')
     args = parser.parse_args()
-    make_scene(args.out, args.n_frames, args.width, args.height, args.focal)
+    if args.format == 'blender':
+        assert args.width == args.height, 'blender images must be square'
+        make_blender_scene(args.out, args.n_frames, args.width, args.focal)
+    else:
+        make_scene(args.out, args.n_frames, args.width, args.height,
+                   args.focal)
     print(f'Wrote {args.n_frames} frames to {args.out}')

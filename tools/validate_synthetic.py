@@ -61,13 +61,24 @@ def main():
                              'spread is several dB, the dtype is not)')
     parser.add_argument('--report', type=str, default=None,
                         help='append a JSON result line to this file')
+    parser.add_argument('--dataset', choices=('llff', 'blender'),
+                        default='llff',
+                        help='scene format / loader to validate end-to-end '
+                             '(blender: square images, near=2 far=6, '
+                             'white background)')
     args = parser.parse_args()
 
     from hypernerf_tpu.utils.platform import apply_platform_overrides
     apply_platform_overrides()
 
-    from make_synthetic_scene import make_scene
-    if not os.path.exists(os.path.join(args.out, 'poses_bounds.npy')):
+    from make_synthetic_scene import make_blender_scene, make_scene
+    if args.dataset == 'blender':
+        assert args.width == args.height, 'blender images must be square'
+        if not os.path.exists(os.path.join(args.out,
+                                           'transforms_train.json')):
+            make_blender_scene(args.out, args.n_frames, args.width)
+            print(f'generated blender scene at {args.out}', flush=True)
+    elif not os.path.exists(os.path.join(args.out, 'poses_bounds.npy')):
         make_scene(args.out, args.n_frames, args.width, args.height)
         print(f'generated scene at {args.out}', flush=True)
 
@@ -105,7 +116,7 @@ def main():
         nerf_cfg = NerfConfig(use_warp=True, hyper_slice_method='bendy_sheet',
                               **common)
     train_cfg = TrainConfig(
-        root_dir=args.out, dataset_name='llff',
+        root_dir=args.out, dataset_name=args.dataset,
         img_wh=(args.width, args.height),
         batch_size=args.batch_size, max_steps=args.steps,
         seed=args.seed,
@@ -128,6 +139,7 @@ def main():
     val = trainer.validate(step=args.steps, log_images=False)
     result = {
         'mode': mode + ('+occ' if args.occupancy else ''),
+        'dataset': args.dataset,
         'samples': (args.N_samples, args.N_importance),
         'steps': args.steps,
         'batch_size': args.batch_size,
