@@ -27,7 +27,7 @@ import time
 BASELINE_RAYS_PER_SEC = 4100.0  # 1x 2080Ti, BASELINE.md
 
 MODES = ('flagship', 'se3', 'quaternion', 'anneal', 'occupancy',
-         'render', 'render_occupancy')
+         'static', 'plane', 'render', 'render_occupancy')
 
 # The reference renders one 504x378 frame through its chunked eval loop in
 # ~30 s on the 2080Ti (190,512 rays / 2048-ray chunks at its ~26k rays/s
@@ -47,6 +47,10 @@ def mode_overrides(mode: str) -> dict:
     if mode in ('occupancy', 'render_occupancy'):
         return dict(use_occupancy_grid=True,
                     num_coarse_samples=32, num_fine_samples=32)
+    if mode == 'static':
+        return dict(use_warp=False, hyper_slice_method='none')
+    if mode == 'plane':
+        return dict(hyper_slice_method='axis_aligned_plane')
     return {}
 
 

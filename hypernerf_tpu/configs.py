@@ -175,6 +175,12 @@ class TrainConfig:
     use_nerfies_meta: bool = True
 
     loss_type: str = 'mse'
+    # Nerfies elastic regularization (Park et al. 2021 §3.4) on the warp
+    # Jacobian's singular values; 0 = off (the reference default — its warp
+    # field cannot produce Jacobians at all, warping.py:122). Enabling it
+    # routes rendering through the dense (non-fused) warp path.
+    elastic_loss_weight: float = 0.0
+    elastic_loss_scale: float = 0.03
     batch_size: int = 2048
     chunk: int = 8192  # eval render tile (device-side lax.map tile size)
     num_epochs: int = 20

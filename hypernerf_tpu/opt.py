@@ -51,6 +51,14 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
 
     parser.add_argument('--loss_type', type=str, default='mse',
                         choices=['mse'], help='loss to use')
+    parser.add_argument('--elastic_loss_weight', type=float, default=0.0,
+                        help='Nerfies elastic regularization weight on the '
+                             'warp Jacobian (0 = off, the reference '
+                             'behavior; requires a warp field; routes '
+                             'through the dense warp path)')
+    parser.add_argument('--elastic_loss_scale', type=float, default=0.03,
+                        help='robust-loss scale for the elastic penalty '
+                             '(Nerfies default 0.03)')
 
     parser.add_argument('--batch_size', type=int, default=2048,
                         help='batch size (global, across all chips)')
@@ -212,6 +220,8 @@ def configs_from_args(args) -> tuple:
     )
     train_cfg = TrainConfig(
         loss_type=args.loss_type,
+        elastic_loss_weight=args.elastic_loss_weight,
+        elastic_loss_scale=args.elastic_loss_scale,
         root_dir=args.root_dir,
         dataset_name=args.dataset_name,
         img_wh=tuple(args.img_wh),

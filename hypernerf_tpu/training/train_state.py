@@ -136,12 +136,21 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
         rays_dict = prepare_ray_dict(rays)
         extra_params = compute_extra_params(nerf_cfg, train_cfg, state.step)
 
+        elastic_on = train_cfg.elastic_loss_weight > 0
+
         def compute_loss(params):
             results = model.apply(
                 {'params': forward_params(params)}, rays_dict, extra_params,
                 rngs={'sampling': k_sample, 'sigma_noise': k_noise},
-                occupancy_grid=state.occupancy)
+                occupancy_grid=state.occupancy,
+                return_warp_jacobian=elastic_on)
             loss = loss_fn(results, rgbs)
+            if elastic_on:
+                from hypernerf_tpu.training.losses import \
+                    weighted_elastic_loss
+                loss = loss + train_cfg.elastic_loss_weight * \
+                    weighted_elastic_loss(results,
+                                          train_cfg.elastic_loss_scale)
             typ = 'fine' if 'fine' in results else 'coarse'
             batch_mse = jnp.mean((results[typ]['rgb'] - rgbs) ** 2)
             return loss, batch_mse
