@@ -181,6 +181,13 @@ class TrainConfig:
     # routes rendering through the dense (non-fused) warp path.
     elastic_loss_weight: float = 0.0
     elastic_loss_scale: float = 0.03
+    # Nerfies background regularization (§3.5): known-static 3-D points
+    # (an (N, 3) .npy, e.g. COLMAP sparse points) are penalized for moving
+    # under the warp. 0 / empty path = off (the reference has no such loss).
+    background_loss_weight: float = 0.0
+    background_loss_scale: float = 0.001
+    background_points_path: str = ''
+    background_points_per_step: int = 1024
     batch_size: int = 2048
     chunk: int = 8192  # eval render tile (device-side lax.map tile size)
     num_epochs: int = 20

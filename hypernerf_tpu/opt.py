@@ -59,6 +59,17 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     parser.add_argument('--elastic_loss_scale', type=float, default=0.03,
                         help='robust-loss scale for the elastic penalty '
                              '(Nerfies default 0.03)')
+    parser.add_argument('--background_loss_weight', type=float, default=0.0,
+                        help='Nerfies background regularization weight: '
+                             'known-static points are penalized for moving '
+                             'under the warp (0 = off)')
+    parser.add_argument('--background_points_path', type=str, default='',
+                        help='(N, 3) .npy of known-static 3-D points '
+                             '(e.g. COLMAP sparse points) for the '
+                             'background loss')
+    parser.add_argument('--background_loss_scale', type=float, default=0.001,
+                        help='robust-loss scale for the background penalty '
+                             '(Nerfies default 0.001)')
 
     parser.add_argument('--batch_size', type=int, default=2048,
                         help='batch size (global, across all chips)')
@@ -222,6 +233,9 @@ def configs_from_args(args) -> tuple:
         loss_type=args.loss_type,
         elastic_loss_weight=args.elastic_loss_weight,
         elastic_loss_scale=args.elastic_loss_scale,
+        background_loss_weight=args.background_loss_weight,
+        background_loss_scale=args.background_loss_scale,
+        background_points_path=args.background_points_path,
         root_dir=args.root_dir,
         dataset_name=args.dataset_name,
         img_wh=tuple(args.img_wh),

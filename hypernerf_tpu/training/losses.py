@@ -43,6 +43,19 @@ def elastic_loss(jacobian: jnp.ndarray, eps: float = 1e-6,
     return 2.0 * squared_scaled / (squared_scaled + 4.0)
 
 
+def background_loss(warped_points: jnp.ndarray, points: jnp.ndarray,
+                    scale: float = 0.001) -> jnp.ndarray:
+    """Per-point Nerfies background regularization (Park et al. 2021 §3.5).
+
+    Known-static 3-D points must not move under the warp: the squared
+    displacement through the same Geman-McClure remap as ``elastic_loss``
+    (Nerfies default scale 0.001). Returns (...,) per-point losses.
+    """
+    sq = jnp.sum((warped_points - points) ** 2, axis=-1)
+    squared_scaled = sq / (scale ** 2)
+    return 2.0 * squared_scaled / (squared_scaled + 4.0)
+
+
 def weighted_elastic_loss(results: dict, scale: float = 0.03) -> jnp.ndarray:
     """Elastic penalty over every level carrying a Jacobian, weighted by the
     volume-rendering weights (empty space doesn't pay) — summed per ray,

@@ -99,7 +99,7 @@ def create_train_state(model: NerfModel, tx: optax.GradientTransformation,
 
 def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
                     nerf_cfg: NerfConfig, train_cfg: TrainConfig, mesh,
-                    explicit_batch: bool = False):
+                    explicit_batch: bool = False, background_points=None):
     """Build the jitted, shard_map'd train step.
 
     Returns step_fn(state, all_rays, all_rgbs, base_rng) -> (state, metrics).
@@ -137,6 +137,8 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
         extra_params = compute_extra_params(nerf_cfg, train_cfg, state.step)
 
         elastic_on = train_cfg.elastic_loss_weight > 0
+        background_on = (background_points is not None
+                         and train_cfg.background_loss_weight > 0)
 
         def compute_loss(params):
             results = model.apply(
@@ -151,6 +153,25 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
                 loss = loss + train_cfg.elastic_loss_weight * \
                     weighted_elastic_loss(results,
                                           train_cfg.elastic_loss_scale)
+            if background_on:
+                from hypernerf_tpu.training.losses import background_loss
+                # Derived from k_idx via fold_in so existing configs' RNG
+                # streams are unchanged when the loss is off.
+                k_bg = jax.random.fold_in(k_idx, 1)
+                k_bgid = jax.random.fold_in(k_idx, 2)
+                bidx = jax.random.randint(
+                    k_bg, (train_cfg.background_points_per_step,), 0,
+                    background_points.shape[0])
+                pts = jnp.take(background_points, bidx, axis=0)
+                ids = jax.random.randint(
+                    k_bgid, (pts.shape[0], 1), 0, nerf_cfg.num_embeddings)
+                warped = model.apply(
+                    {'params': forward_params(params)}, pts, ids,
+                    extra_params,
+                    method=NerfModel.apply_warp)['warped_points']
+                loss = loss + train_cfg.background_loss_weight * jnp.mean(
+                    background_loss(warped, pts,
+                                    train_cfg.background_loss_scale))
             typ = 'fine' if 'fine' in results else 'coarse'
             batch_mse = jnp.mean((results[typ]['rgb'] - rgbs) ** 2)
             return loss, batch_mse

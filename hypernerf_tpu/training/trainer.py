@@ -117,8 +117,20 @@ class Trainer:
                                                      self.state)
         self.state = replicate(self.mesh, self.state)
 
+        background_points = None
+        if (train_cfg.background_loss_weight > 0
+                and train_cfg.background_points_path):
+            if not nerf_cfg.use_warp:
+                raise ValueError(
+                    'background_loss_weight needs a warp field '
+                    '(use_warp=True)')
+            pts = np.load(train_cfg.background_points_path)
+            assert pts.ndim == 2 and pts.shape[1] == 3, pts.shape
+            background_points = replicate(
+                self.mesh, jnp.asarray(pts, jnp.float32))
         self.train_step = make_train_step(self.model, self.tx, nerf_cfg,
-                                          train_cfg, self.mesh)
+                                          train_cfg, self.mesh,
+                                          background_points=background_points)
         self.occupancy_update = (
             make_occupancy_update(self.model, nerf_cfg, train_cfg)
             if nerf_cfg.use_occupancy_grid else None)

@@ -82,3 +82,56 @@ def test_train_step_with_elastic_loss():
     # Identical rng/params: any difference is the elastic term (can be tiny
     # at init — warp starts near-identity — so drive the weight high).
     assert losses[10.0] != losses[0.0]
+
+
+def test_background_loss_values():
+    from hypernerf_tpu.training.losses import background_loss
+    pts = jnp.ones((5, 3))
+    np.testing.assert_allclose(
+        np.asarray(background_loss(pts, pts)), 0.0, atol=1e-12)
+    moved = pts + jnp.array([0.001, 0.0, 0.0])
+    scale = 0.001
+    sq = float(jnp.sum((moved - pts) ** 2, -1)[0])  # f32-exact displacement
+    expected = 2.0 * (sq / scale ** 2) / (sq / scale ** 2 + 4.0)
+    np.testing.assert_allclose(np.asarray(background_loss(moved, pts)),
+                               expected, rtol=1e-5)
+
+
+def test_train_step_with_background_loss():
+    """Background points thread through the sharded step (8-device mesh) and
+    pull the warp toward the identity: the warp-field gradient changes."""
+    from tests.conftest import make_rays, tiny_nerf_config
+    from hypernerf_tpu.parallel.mesh import create_mesh, replicate
+    from hypernerf_tpu.training.optimizers import get_optimizer
+    from hypernerf_tpu.training.train_state import (create_train_state,
+                                                    make_train_step)
+
+    nerf_cfg = tiny_nerf_config(num_coarse_samples=4, num_fine_samples=4,
+                                noise_std=0.0)
+    rays = make_rays(64)
+    rgbs = np.random.RandomState(1).rand(64, 3).astype(np.float32)
+    bg = jnp.asarray(np.random.RandomState(2).randn(128, 3) * 0.5,
+                     jnp.float32)
+    mesh = create_mesh(num_devices=8)
+    rng = jax.random.PRNGKey(0)
+
+    params_out = {}
+    for weight in (0.0, 1000.0):
+        train_cfg = TrainConfig(batch_size=32, lr=1e-2,
+                                background_loss_weight=weight,
+                                background_points_per_step=64)
+        model = NerfModel(nerf_cfg)
+        tx = get_optimizer(train_cfg, steps_per_epoch=10)
+        state = create_train_state(model, tx, train_cfg, rng, rays[:8])
+        state = replicate(mesh, state)
+        step_fn = make_train_step(model, tx, nerf_cfg, train_cfg, mesh,
+                                  background_points=replicate(mesh, bg)
+                                  if weight else None)
+        state, metrics = step_fn(state, replicate(mesh, jnp.asarray(rays)),
+                                 replicate(mesh, jnp.asarray(rgbs)), rng)
+        assert np.isfinite(float(metrics['loss']))
+        params_out[weight] = jax.device_get(state.params)
+    w0 = jax.tree.leaves(params_out[0.0])
+    w1 = jax.tree.leaves(params_out[1000.0])
+    assert any(not np.allclose(a, b) for a, b in zip(w0, w1)), \
+        'background loss had no effect on the update'
