@@ -97,10 +97,8 @@ def _encode(spec: FusedSE3Spec, x_raw, scales=None, return_trig=False):
     pts = x_raw[:, :3].astype(jnp.float32)
     if s.min_deg:
         pts = pts * (2.0 ** s.min_deg)
-    xb = jax.lax.dot_general(pts, _band_matrix(3, s.n_freq),
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    sin_xb, cos_xb = jnp.sin(xb), jnp.cos(xb)
+    from hypernerf_tpu.ops.pallas.fused_field import _band_trig
+    sin_xb, cos_xb = _band_trig(pts, 3, s.n_freq)
     parts = [sin_xb.astype(dt), cos_xb.astype(dt)]
     if s.use_metadata:
         parts.append(x_raw[:, 3:3 + s.embed_ch].astype(dt))
@@ -131,10 +129,9 @@ def _encode_bwd(spec: FusedSE3Spec, x_raw, g_enc, scales=None, trig=None):
     if trig is not None:
         sin_xb, cos_xb = trig
     else:
+        from hypernerf_tpu.ops.pallas.fused_field import _band_trig
         pts = x_raw[:, :3].astype(jnp.float32)
-        xb = jax.lax.dot_general(pts * scale, band, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        sin_xb, cos_xb = jnp.sin(xb), jnp.cos(xb)
+        sin_xb, cos_xb = _band_trig(pts * scale, 3, s.n_freq)
     g_sin = g_enc[:, :fc].astype(jnp.float32)
     g_cos = g_enc[:, fc:2 * fc].astype(jnp.float32)
     flat = cos_xb * g_sin - sin_xb * g_cos
