@@ -61,6 +61,9 @@ def main():
                              'spread is several dB, the dtype is not)')
     parser.add_argument('--report', type=str, default=None,
                         help='append a JSON result line to this file')
+    parser.add_argument('--elastic_loss_weight', type=float, default=0.0,
+                        help='Nerfies elastic regularization weight '
+                             '(routes through the dense warp path)')
     parser.add_argument('--dataset', choices=('llff', 'blender'),
                         default='llff',
                         help='scene format / loader to validate end-to-end '
@@ -118,6 +121,7 @@ def main():
     train_cfg = TrainConfig(
         root_dir=args.out, dataset_name=args.dataset,
         img_wh=(args.width, args.height),
+        elastic_loss_weight=args.elastic_loss_weight,
         batch_size=args.batch_size, max_steps=args.steps,
         seed=args.seed,
         lr=5e-4, lr_scheduler=args.lr_scheduler,
@@ -138,7 +142,8 @@ def main():
     wall = time.time() - t0
     val = trainer.validate(step=args.steps, log_images=False)
     result = {
-        'mode': mode + ('+occ' if args.occupancy else ''),
+        'mode': (mode + ('+occ' if args.occupancy else '')
+                 + ('+elastic' if args.elastic_loss_weight else '')),
         'dataset': args.dataset,
         'samples': (args.N_samples, args.N_importance),
         'steps': args.steps,
