@@ -135,3 +135,25 @@ def test_train_step_with_background_loss():
     w1 = jax.tree.leaves(params_out[1000.0])
     assert any(not np.allclose(a, b) for a, b in zip(w0, w1)), \
         'background loss had no effect on the update'
+
+
+def test_warp_jacobian_matches_jacrev():
+    """The batched forward-mode Jacobian equals the per-point jacrev one
+    (which is what the Nerfies math specifies)."""
+    from tests.conftest import tiny_nerf_config
+    from hypernerf_tpu.models.warping import TranslationField, _warp_jacobian
+
+    field = TranslationField(depth=2, width=16, skips=(1,))
+    rs = np.random.RandomState(0)
+    pts = jnp.asarray(rs.randn(12, 3), jnp.float32)
+    emb = jnp.asarray(rs.randn(12, 4), jnp.float32)
+    variables = field.init(jax.random.PRNGKey(0), pts, emb)
+
+    out = field.apply(variables, pts, emb, return_jacobian=True)
+
+    def warp_one(p, e):
+        return field.apply(variables, p[None], e[None])['warped_points'][0]
+
+    jac_ref = jax.vmap(jax.jacrev(warp_one, argnums=0))(pts, emb)
+    np.testing.assert_allclose(np.asarray(out['jacobian']),
+                               np.asarray(jac_ref), rtol=1e-5, atol=1e-6)
