@@ -27,7 +27,7 @@ import time
 BASELINE_RAYS_PER_SEC = 4100.0  # 1x 2080Ti, BASELINE.md
 
 MODES = ('flagship', 'se3', 'quaternion', 'anneal', 'occupancy',
-         'static', 'plane', 'render', 'render_occupancy')
+         'static', 'plane', 'elastic', 'render', 'render_occupancy')
 
 # The reference renders one 504x378 frame through its chunked eval loop in
 # ~30 s on the 2080Ti (190,512 rays / 2048-ray chunks at its ~26k rays/s
@@ -134,7 +134,12 @@ def main():
     )
     cfg_kwargs.update(mode_overrides(args.mode))
     cfg = NerfConfig(**cfg_kwargs)
-    train_cfg = TrainConfig(batch_size=batch_size, lr=5e-4)
+    # elastic: the flagship model + the Nerfies elastic penalty, which adds
+    # the warp-Jacobian side channel (batched pullbacks on the dense warp;
+    # the render itself stays on the fused kernels — models/nerf.py).
+    elastic_w = 0.01 if args.mode == 'elastic' else 0.0
+    train_cfg = TrainConfig(batch_size=batch_size, lr=5e-4,
+                            elastic_loss_weight=elastic_w)
 
     mesh = create_mesh()
     model = NerfModel(cfg)

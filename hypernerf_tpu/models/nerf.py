@@ -70,6 +70,7 @@ class NerfModel(nn.Module):
                     n_freq=cfg.warp_freq, skips=cfg.skips, dtype=dtype,
                     use_pallas=cfg.use_pallas and cfg.use_pallas_fields,
                     pallas_tile=cfg.pallas_tile,
+                    pallas_interpret=cfg.pallas_interpret,
                     name='warp_field')
             else:
                 field_cls = (QuaternionField
@@ -81,6 +82,7 @@ class NerfModel(nn.Module):
                     skips=cfg.skips, dtype=dtype,
                     use_pallas=cfg.use_pallas and cfg.use_pallas_fields,
                     pallas_tile=cfg.pallas_tile,
+                    pallas_interpret=cfg.pallas_interpret,
                     name='warp_field')
         if cfg.has_hyper_embed and not cfg.hyper_use_warp_embed:
             self.hyper_embed = GLOEmbed(cfg.num_embeddings, cfg.glo_dim,
@@ -95,6 +97,7 @@ class NerfModel(nn.Module):
                 use_residual=cfg.hyper_sheet_use_residual,
                 use_pallas=cfg.use_pallas and cfg.use_pallas_fields,
                 pallas_tile=cfg.pallas_tile,
+                pallas_interpret=cfg.pallas_interpret,
                 dtype=dtype,
                 name='hyper_sheet_mlp')
         if cfg.use_nerf_embed and not cfg.nerf_use_warp_embed:
@@ -111,6 +114,7 @@ class NerfModel(nn.Module):
             skips=cfg.skips,
             use_pallas=cfg.use_pallas,
             pallas_tile=cfg.pallas_tile,
+            pallas_interpret=cfg.pallas_interpret,
             dtype=dtype)
         self.nerf_mlp_coarse = NerfMLP(name='nerf_coarse', **template_kwargs)
         if cfg.num_fine_samples > 0:
@@ -206,7 +210,8 @@ class NerfModel(nn.Module):
         # stays on the fast path.
         if (cfg.use_pallas and not self.is_initializing()
                 and rgb_condition is not None
-                and jax.default_backend() == 'tpu'):
+                and (jax.default_backend() == 'tpu'
+                     or cfg.pallas_interpret)):
             raw = self._query_template_fused(
                 level, points, alpha_condition, rgb_condition, extra_params)
             raw_alpha = at_least_f32(raw['alpha'])
@@ -338,7 +343,8 @@ class NerfModel(nn.Module):
             tile=cfg.pallas_tile,
             bwd_tile=bwd_tile,
             compute_dtype=cfg.compute_dtype,
-            cond_samples=cond_samples)
+            cond_samples=cond_samples,
+            interpret=cfg.pallas_interpret)
         tmpl_scales = None
         if not cfg.use_original_embed:
             alphas = [extra_params.get('nerf_alpha'),
@@ -395,7 +401,8 @@ class NerfModel(nn.Module):
                 use_white_background=cfg.use_white_background,
                 sample_at_infinity=use_sample_at_infinity,
                 has_noise=noise is not None,
-                fine_samples=n_fine)
+                fine_samples=n_fine,
+                interpret=cfg.pallas_interpret)
             comp = fused_composite(cspec, out, z2,
                                    directions.reshape(-1, 3), noise,
                                    u=(fine_u.reshape(-1, n_fine)
@@ -495,7 +502,8 @@ class NerfModel(nn.Module):
             bwd_tile=bwd_tile,
             compute_dtype=cfg.compute_dtype,
             enc_segments=segments,
-            cond_samples=cond_samples)
+            cond_samples=cond_samples,
+            interpret=cfg.pallas_interpret)
         pairs = nerf_mlp_params_to_list(mlp_mod.variables['params'])
         out = fused_nerf_mlp(
             spec, points.reshape(-1, points.shape[-1]),
@@ -643,10 +651,11 @@ class NerfModel(nn.Module):
                 and cfg.hyper_slice_method == 'bendy_sheet'
                 and cfg.hyper_use_warp_embed
                 and warp_embed is not None
-                and not return_warp_jacobian and not return_points
+                and not return_points
                 and metadata.get('hyper_point') is None
                 and not self.is_initializing()
-                and jax.default_backend() == 'tpu'):
+                and (jax.default_backend() == 'tpu'
+                     or cfg.pallas_interpret)):
             alpha_condition, rgb_condition = self.get_condition_inputs(
                 viewdirs, metadata, extra_params, metadata_encoded)
             if rgb_condition is not None:
@@ -656,6 +665,21 @@ class NerfModel(nn.Module):
                     origins=origins, directions=directions, z_vals=z_vals,
                     use_sample_at_infinity=use_sample_at_infinity,
                     render_opts=render_opts, fine_u=fine_u)
+                if return_warp_jacobian:
+                    # Elastic-loss side channel: the render stays on the
+                    # fused kernels; only d(warp)/d(points) — three batched
+                    # pullbacks through the SMALL warp MLP (warping.py
+                    # _warp_jacobian) — runs on the dense path. The
+                    # alternative (rendering the whole level densely
+                    # whenever the Jacobian is wanted) costs ~5x the step.
+                    from hypernerf_tpu.models.warping import _warp_jacobian
+                    embed_b = jnp.broadcast_to(
+                        warp_embed[..., None, :],
+                        (*batch_shape, warp_embed.shape[-1]))
+                    out['warp_jacobian'] = _warp_jacobian(
+                        lambda p: self.warp_field.warp(
+                            p, embed_b, extra_params, allow_pallas=False),
+                        points)
                 if isinstance(fused, dict):
                     # Compositing already ran in the fused ray-major kernel.
                     out.update(fused)
@@ -798,7 +822,8 @@ class NerfModel(nn.Module):
             if (cfg.use_pallas and cfg.use_pallas_level
                     and not occupancy_active and not render_opts
                     and total & (total - 1) == 0
-                    and jax.default_backend() == 'tpu'
+                    and (jax.default_backend() == 'tpu'
+                         or cfg.pallas_interpret)
                     and not self.is_initializing()):
                 from hypernerf_tpu.ops.sampling import sorted_uniform
                 n_rays = directions.shape[0]
