@@ -101,6 +101,10 @@ class NerfConfig:
     # split: the template backward runs at tile 512 — its VMEM ceiling —
     # and the lean fields backward fits 1024 comfortably).
     pallas_bwd_tile: int = 1024
+    # Run the fused kernels under the Pallas interpreter on non-TPU
+    # backends (testing only: lets the CPU suite exercise the MODEL-level
+    # fused dispatch, tests/test_fused_model_interpret.py). Use tiny tiles.
+    pallas_interpret: bool = False
 
     # Occupancy-grid guided coarse sampling (ops/occupancy.py; OFF by
     # default for reference parity). The grid EMA-tracks the model's own

@@ -167,6 +167,7 @@ class NerfMLP(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     pallas_tile: int = 512
+    pallas_interpret: bool = False
 
     def _pallas_path(self, x, alpha_condition, rgb_condition):
         import jax
@@ -200,6 +201,7 @@ class NerfMLP(nn.Module):
             tile=self.pallas_tile,
             bwd_tile=min(self.pallas_tile, 512),
             compute_dtype=str(jnp.dtype(self.dtype)),
+            interpret=self.pallas_interpret,
         )
         pairs = nerf_mlp_params_to_list(self.variables['params'])
         out = fused_nerf_mlp(spec, x_flat, rgbc_flat, alphac_flat, pairs)
@@ -222,7 +224,8 @@ class NerfMLP(nn.Module):
         import jax as _jax
         if (self.use_pallas and not self.is_initializing()
                 and rgb_condition is not None
-                and _jax.default_backend() == 'tpu'):
+                and (_jax.default_backend() == 'tpu'
+                     or self.pallas_interpret)):
             return self._pallas_path(x, alpha_condition, rgb_condition)
         num_samples = x.shape[-2]
 
@@ -296,12 +299,14 @@ class HyperSheetMLP(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     pallas_tile: int = 1024
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, points, embed, alpha=None):
         import jax as _jax
         if (self.use_pallas and not self.is_initializing()
-                and _jax.default_backend() == 'tpu'):
+                and (_jax.default_backend() == 'tpu'
+                     or self.pallas_interpret)):
             from hypernerf_tpu.ops.pallas.fused_field import (
                 FusedFieldSpec, fused_field_mlp, mlp_params_to_list)
             spec = FusedFieldSpec(
@@ -309,7 +314,8 @@ class HyperSheetMLP(nn.Module):
                           (embed.shape[-1], 0)),
                 depth=self.depth, width=self.width, out_ch=self.out_ch,
                 skips=tuple(self.skips), tile=self.pallas_tile,
-                compute_dtype=str(jnp.dtype(self.dtype)))
+                compute_dtype=str(jnp.dtype(self.dtype)),
+                interpret=self.pallas_interpret)
             raw = jnp.concatenate(
                 [points, embed.astype(points.dtype)], axis=-1)
             out = fused_field_mlp(

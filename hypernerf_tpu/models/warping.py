@@ -63,6 +63,7 @@ class TranslationField(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     pallas_tile: int = 1024
+    pallas_interpret: bool = False
 
     def setup(self):
         self.mlp = MLP(out_ch=3,
@@ -76,14 +77,16 @@ class TranslationField(nn.Module):
 
     def warp(self, points, embed, extra_params=None, allow_pallas=True):
         if (allow_pallas and self.use_pallas and not self.is_initializing()
-                and jax.default_backend() == 'tpu'):
+                and (jax.default_backend() == 'tpu'
+                     or self.pallas_interpret)):
             from hypernerf_tpu.ops.pallas.fused_field import (
                 FusedFieldSpec, fused_field_mlp, mlp_params_to_list)
             spec = FusedFieldSpec(
                 segments=((3, self.n_freq), (embed.shape[-1], 0)),
                 depth=self.depth, width=self.width, out_ch=3,
                 skips=tuple(self.skips), tile=self.pallas_tile,
-                compute_dtype=str(jnp.dtype(self.dtype)))
+                compute_dtype=str(jnp.dtype(self.dtype)),
+                interpret=self.pallas_interpret)
             raw = jnp.concatenate(
                 [points, embed.astype(points.dtype)],
                 axis=-1).reshape(-1, 3 + embed.shape[-1])
@@ -125,6 +128,7 @@ class SE3Field(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     pallas_tile: int = 1024
+    pallas_interpret: bool = False
 
     def setup(self):
         self.trunk = MLP(out_ch=self.trunk_width,
@@ -152,7 +156,8 @@ class SE3Field(nn.Module):
         alpha = None if extra_params is None else extra_params.get('warp_alpha')
         if (allow_pallas and self.use_pallas and not self.is_initializing()
                 and not self.use_posenc_identity
-                and jax.default_backend() == 'tpu'):
+                and (jax.default_backend() == 'tpu'
+                     or self.pallas_interpret)):
             from hypernerf_tpu.ops.pallas.fused_field import encoding_scales
             from hypernerf_tpu.ops.pallas.fused_se3 import (FusedSE3Spec,
                                                             fused_se3_wv,
@@ -163,7 +168,8 @@ class SE3Field(nn.Module):
                 depth=self.trunk_depth, width=self.trunk_width,
                 skips=tuple(self.skips), tile=self.pallas_tile,
                 compute_dtype=str(jnp.dtype(self.dtype)),
-                windowed=alpha is not None)
+                windowed=alpha is not None,
+                interpret=self.pallas_interpret)
             # The warp_alpha annealing window runs in-kernel as a per-band
             # scale row, so the annealed SE(3) stays on the fused path.
             scales = None
