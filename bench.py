@@ -47,6 +47,8 @@ def mode_overrides(mode: str) -> dict:
     if mode in ('occupancy', 'render_occupancy'):
         return dict(use_occupancy_grid=True,
                     num_coarse_samples=32, num_fine_samples=32)
+    if mode == 'elastic':
+        return dict(elastic_jacobian_samples=16)
     if mode == 'static':
         return dict(use_warp=False, hyper_slice_method='none')
     if mode == 'plane':

@@ -101,6 +101,13 @@ class NerfConfig:
     # split: the template backward runs at tile 512 — its VMEM ceiling —
     # and the lean fields backward fits 1024 comfortably).
     pallas_bwd_tile: int = 1024
+    # Elastic-loss Jacobian subsampling: with K > 0 the fused-path warp
+    # Jacobian is evaluated at only K points per ray, drawn proportional to
+    # the rendering weights (an unbiased importance estimator of the
+    # weighted elastic penalty: W * mean_k e_k, W = sum of weights). 0 =
+    # every sample (exact; ~2.5x step cost at 64+64). 16 recovers most of
+    # the speed at regularizer-grade fidelity.
+    elastic_jacobian_samples: int = 0
     # Run the fused kernels under the Pallas interpreter on non-TPU
     # backends (testing only: lets the CPU suite exercise the MODEL-level
     # fused dispatch, tests/test_fused_model_interpret.py). Use tiny tiles.

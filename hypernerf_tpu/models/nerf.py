@@ -612,6 +612,37 @@ class NerfModel(nn.Module):
 
     # ---------------------------------------------------------------- rendering
 
+    def _warp_jacobian_side_channel(self, out, points, warp_embed,
+                                    extra_params, batch_shape):
+        """Attach the elastic-loss warp Jacobian to a fused-path result.
+
+        With ``config.elastic_jacobian_samples`` K > 0, the Jacobian is
+        evaluated at only K points per ray, drawn proportional to the
+        rendering weights (available here — the fused composite already
+        ran). ``out['warp_jacobian_weights']`` carries the importance
+        weights W/K so the training loss's per-sample reduce
+        sum(w * e) is an unbiased estimator of the full weighted penalty
+        (losses.weighted_elastic_loss). The draw is stop-gradient; W and
+        the Jacobians stay differentiable.
+        """
+        cfg = self.config
+        from hypernerf_tpu.models.warping import _warp_jacobian
+        embed_b = jnp.broadcast_to(
+            warp_embed[..., None, :], (*batch_shape, warp_embed.shape[-1]))
+        k = cfg.elastic_jacobian_samples
+        if k > 0 and self.has_rng('sampling'):
+            from hypernerf_tpu.ops.sampling import weighted_sample_indices
+            w = jax.lax.stop_gradient(out['weights'])
+            idx = weighted_sample_indices(self.make_rng('sampling'), w, k)
+            points = jnp.take_along_axis(points, idx[..., None], axis=-2)
+            embed_b = jnp.take_along_axis(embed_b, idx[..., None], axis=-2)
+            w_sum = jnp.sum(out['weights'], axis=-1, keepdims=True)
+            out['warp_jacobian_weights'] = jnp.broadcast_to(
+                w_sum / k, idx.shape)
+        out['warp_jacobian'] = _warp_jacobian(
+            lambda p: self.warp_field.warp(
+                p, embed_b, extra_params, allow_pallas=False), points)
+
     def render_samples(self, level, points, z_vals, directions, viewdirs,
                        metadata, extra_params, use_warp: bool = True,
                        metadata_encoded: bool = False,
@@ -665,31 +696,25 @@ class NerfModel(nn.Module):
                     origins=origins, directions=directions, z_vals=z_vals,
                     use_sample_at_infinity=use_sample_at_infinity,
                     render_opts=render_opts, fine_u=fine_u)
+                if isinstance(fused, dict):
+                    # Compositing already ran in the fused ray-major kernel.
+                    out.update(fused)
+                else:
+                    rgb, sigma = fused
+                    sigma = filter_sigma(points, sigma, render_opts)
+                    out.update(volumetric_rendering(
+                        rgb, sigma, z_vals, directions,
+                        use_white_background=cfg.use_white_background,
+                        sample_at_infinity=use_sample_at_infinity))
                 if return_warp_jacobian:
                     # Elastic-loss side channel: the render stays on the
-                    # fused kernels; only d(warp)/d(points) — three batched
+                    # fused kernels; only d(warp)/d(points) — batched
                     # pullbacks through the SMALL warp MLP (warping.py
                     # _warp_jacobian) — runs on the dense path. The
                     # alternative (rendering the whole level densely
                     # whenever the Jacobian is wanted) costs ~5x the step.
-                    from hypernerf_tpu.models.warping import _warp_jacobian
-                    embed_b = jnp.broadcast_to(
-                        warp_embed[..., None, :],
-                        (*batch_shape, warp_embed.shape[-1]))
-                    out['warp_jacobian'] = _warp_jacobian(
-                        lambda p: self.warp_field.warp(
-                            p, embed_b, extra_params, allow_pallas=False),
-                        points)
-                if isinstance(fused, dict):
-                    # Compositing already ran in the fused ray-major kernel.
-                    out.update(fused)
-                    return out
-                rgb, sigma = fused
-                sigma = filter_sigma(points, sigma, render_opts)
-                out.update(volumetric_rendering(
-                    rgb, sigma, z_vals, directions,
-                    use_white_background=cfg.use_white_background,
-                    sample_at_infinity=use_sample_at_infinity))
+                    self._warp_jacobian_side_channel(
+                        out, points, warp_embed, extra_params, batch_shape)
                 return out
 
         # Broadcast per-ray embeddings across samples.

@@ -42,11 +42,13 @@ def _warp_jacobian(warp_fn, points):
     jac[..., i, k] = d warped_i / d points_k — jacrev's layout.
     """
     _, pullback = jax.vjp(warp_fn, points)
-    eye = jnp.eye(3, dtype=jnp.float32)
-    rows = [pullback(jnp.broadcast_to(eye[k], points.shape)
-                     .astype(points.dtype))[0]
-            for k in range(3)]
-    return jnp.stack(rows, axis=-2)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype),
+                           (*points.shape, 3))
+    # One vmapped backward over the 3 coordinate cotangents (a leading
+    # batch dim on the SAME linearization) instead of 3 sequential
+    # pullbacks — XLA batches the transposed matmuls.
+    rows = jax.vmap(lambda ct: pullback(ct)[0], in_axes=-1)(eye)
+    return jnp.moveaxis(rows, 0, -2)
 
 
 class TranslationField(nn.Module):

@@ -150,3 +150,21 @@ def sample_pdf(key, bins, weights, origins, directions, z_vals,
     z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
     points = origins[..., None, :] + z_vals[..., None] * directions[..., None, :]
     return z_vals, points
+
+
+def weighted_sample_indices(key, weights, num: int):
+    """(..., K) sample indices drawn iid proportional to ``weights``.
+
+    The inverse-CDF draw as a comparison-mask count (searchsorted lowers
+    ~30x slower on TPU, see piecewise_constant_pdf). Rays whose weights
+    sum to ~0 resolve to the last index — their importance estimator is
+    scaled by that ~0 sum anyway. Used by the elastic-loss Jacobian
+    subsampler (models/nerf.py render_samples).
+    """
+    w = jnp.maximum(weights.astype(jnp.float32), 0.0)
+    cdf = jnp.cumsum(w, axis=-1)
+    cdf = cdf / jnp.maximum(cdf[..., -1:], 1e-12)
+    u = jax.random.uniform(key, (*weights.shape[:-1], num))
+    idx = jnp.sum((u[..., :, None] >= cdf[..., None, :]).astype(jnp.int32),
+                  axis=-1)
+    return jnp.minimum(idx, weights.shape[-1] - 1)

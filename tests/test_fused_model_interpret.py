@@ -95,3 +95,21 @@ def test_fused_model_elastic_jacobian_side_channel():
         # And the render itself did come from the fused path: weights for
         # the fine level carry the union sample count.
     assert fused['fine']['weights'].shape[-1] == 16
+
+
+@pytest.mark.slow
+def test_fused_model_subsampled_jacobian():
+    """elastic_jacobian_samples=K: the fused path returns (B, K, 3, 3)
+    Jacobians + (B, K) importance weights, and the weighted reduce stays
+    finite and in the exact penalty's ballpark."""
+    from hypernerf_tpu.training.losses import weighted_elastic_loss
+
+    out = _run(_cfg(True, elastic_jacobian_samples=4),
+               return_warp_jacobian=True)
+    for level in ('coarse', 'fine'):
+        jac = out[level]['warp_jacobian']
+        wts = out[level]['warp_jacobian_weights']
+        assert jac.shape[:2] == (B, 4) and jac.shape[-2:] == (3, 3)
+        assert wts.shape == (B, 4)
+    loss = float(weighted_elastic_loss(out))
+    assert np.isfinite(loss) and loss >= 0.0
