@@ -62,8 +62,12 @@ def main():
     parser.add_argument('--report', type=str, default=None,
                         help='append a JSON result line to this file')
     parser.add_argument('--elastic_loss_weight', type=float, default=0.0,
-                        help='Nerfies elastic regularization weight '
-                             '(routes through the dense warp path)')
+                        help='Nerfies elastic regularization weight (the '
+                             'render stays fused; the Jacobian side channel '
+                             'runs densely)')
+    parser.add_argument('--elastic_jacobian_samples', type=int, default=0,
+                        help='importance-subsample the elastic Jacobian to '
+                             'K points per ray (0 = every sample)')
     parser.add_argument('--dataset', choices=('llff', 'blender'),
                         default='llff',
                         help='scene format / loader to validate end-to-end '
@@ -99,6 +103,9 @@ def main():
         # The synthetic LLFF scene lives in NDC; the unit cube covers it.
         common.update(use_occupancy_grid=True,
                       occupancy_bbox_min=-1.5, occupancy_bbox_max=1.5)
+    if args.elastic_jacobian_samples:
+        common.update(
+            elastic_jacobian_samples=args.elastic_jacobian_samples)
     if mode == 'static':
         nerf_cfg = NerfConfig(use_warp=False, hyper_slice_method='none',
                               **common)
