@@ -64,11 +64,17 @@ def _run(cfg, return_warp_jacobian=False, seed=0):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize('warp_type', ['translation', 'se3'])
-def test_fused_model_matches_dense(warp_type):
+@pytest.mark.parametrize('variant', [
+    dict(warp_field_type='translation'),
+    dict(warp_field_type='se3'),
+    dict(warp_field_type='quaternion'),
+    dict(warp_field_type='translation', use_original_embed=False),  # anneal
+], ids=['translation', 'se3', 'quaternion', 'anneal'])
+def test_fused_model_matches_dense(variant):
     """use_pallas_level under the interpreter == the dense XLA model."""
-    dense = _run(_cfg(False, warp_field_type=warp_type))
-    fused = _run(_cfg(True, warp_field_type=warp_type))
+    warp_type = variant.get('warp_field_type')
+    dense = _run(_cfg(False, **variant))
+    fused = _run(_cfg(True, **variant))
     for level in ('coarse', 'fine'):
         for key in ('rgb', 'depth', 'acc'):
             np.testing.assert_allclose(

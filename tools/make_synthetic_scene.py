@@ -190,3 +190,24 @@ if __name__ == '__main__':
         make_scene(args.out, args.n_frames, args.width, args.height,
                    args.focal)
     print(f'Wrote {args.n_frames} frames to {args.out}')
+
+
+def make_static_points(n: int = 4096, seed: int = 0) -> np.ndarray:
+    """(n, 3) world-space points on the scene's STATIC geometry.
+
+    Half inside the static blob (center (0,0,-2.5), radius 0.45), half on
+    the background wall (z=-4) — the stand-in for the COLMAP sparse points
+    Nerfies feeds its background regularization (Park et al. 2021 §3.5).
+    World coordinates, i.e. the Blender pipeline's model space (the LLFF
+    pipeline warps NDC points; these would need the NDC map first).
+    """
+    rs = np.random.RandomState(seed)
+    n_blob = n // 2
+    d = rs.randn(n_blob, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    r = 0.45 * rs.rand(n_blob, 1) ** (1.0 / 3.0)
+    blob = np.array([0.0, 0.0, -2.5]) + d * r
+    wall = np.stack([rs.uniform(-1.5, 1.5, n - n_blob),
+                     rs.uniform(-1.5, 1.5, n - n_blob),
+                     np.full(n - n_blob, -4.0)], axis=-1)
+    return np.concatenate([blob, wall]).astype(np.float32)

@@ -68,6 +68,11 @@ def main():
     parser.add_argument('--elastic_jacobian_samples', type=int, default=0,
                         help='importance-subsample the elastic Jacobian to '
                              'K points per ray (0 = every sample)')
+    parser.add_argument('--background_loss_weight', type=float, default=0.0,
+                        help='Nerfies background regularization weight; '
+                             'static points are generated from the '
+                             'analytic scene (blender dataset only — its '
+                             'model space is world coordinates)')
     parser.add_argument('--dataset', choices=('llff', 'blender'),
                         default='llff',
                         help='scene format / loader to validate end-to-end '
@@ -88,6 +93,16 @@ def main():
     elif not os.path.exists(os.path.join(args.out, 'poses_bounds.npy')):
         make_scene(args.out, args.n_frames, args.width, args.height)
         print(f'generated scene at {args.out}', flush=True)
+
+    background_points_path = ''
+    if args.background_loss_weight:
+        assert args.dataset == 'blender', (
+            'background loss validation needs world-space model coords '
+            '(the LLFF pipeline warps NDC points)')
+        import numpy as _np
+        from make_synthetic_scene import make_static_points
+        background_points_path = os.path.join(args.out, 'static_points.npy')
+        _np.save(background_points_path, make_static_points(4096))
 
     from hypernerf_tpu.configs import NerfConfig, TrainConfig
     from hypernerf_tpu.training.trainer import Trainer
@@ -129,6 +144,8 @@ def main():
         root_dir=args.out, dataset_name=args.dataset,
         img_wh=(args.width, args.height),
         elastic_loss_weight=args.elastic_loss_weight,
+        background_loss_weight=args.background_loss_weight,
+        background_points_path=background_points_path,
         batch_size=args.batch_size, max_steps=args.steps,
         seed=args.seed,
         lr=5e-4, lr_scheduler=args.lr_scheduler,
@@ -150,7 +167,8 @@ def main():
     val = trainer.validate(step=args.steps, log_images=False)
     result = {
         'mode': (mode + ('+occ' if args.occupancy else '')
-                 + ('+elastic' if args.elastic_loss_weight else '')),
+                 + ('+elastic' if args.elastic_loss_weight else '')
+                 + ('+bg' if args.background_loss_weight else '')),
         'dataset': args.dataset,
         'samples': (args.N_samples, args.N_importance),
         'steps': args.steps,
