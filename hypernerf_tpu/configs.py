@@ -207,6 +207,13 @@ class TrainConfig:
     optimizer: str = 'adam'  # 'sgd' | 'adam' | 'radam' | 'ranger'
     momentum: float = 0.9
     weight_decay: float = 0.0
+    # ZeRO-1: shard the optimizer moments over the data mesh axis (the
+    # reference's >1-GPU default is fairscale ddp_sharded — sharded
+    # optimizer state + gradient allreduce, train.py:229). The update math
+    # is elementwise per-parameter, so the step is bit-identical to the
+    # replicated update (asserted by tests/test_train.py); each device
+    # stores 1/N of every divisible moment leaf.
+    shard_optimizer_state: bool = False
     lr_scheduler: str = 'steplr'  # 'steplr' | 'cosine' | 'poly'
     warmup_multiplier: float = 1.0
     warmup_epochs: int = 0

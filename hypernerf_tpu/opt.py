@@ -108,6 +108,13 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
 
     parser.add_argument('--optimizer', type=str, default='adam',
                         choices=['sgd', 'adam', 'radam', 'ranger'])
+    parser.add_argument('--shard_optimizer_state', default=False,
+                        action='store_true',
+                        help='ZeRO-1: shard the optimizer moments over the '
+                             'data mesh axis (the reference runs fairscale '
+                             'ddp_sharded whenever num_gpus>1, '
+                             'train.py:229). Same update, 1/N moment '
+                             'memory per chip.')
     parser.add_argument('--lr', type=float, default=5e-4)
     parser.add_argument('--momentum', type=float, default=0.9)
     parser.add_argument('--weight_decay', type=float, default=0.0)
@@ -255,6 +262,7 @@ def configs_from_args(args) -> tuple:
         max_steps=getattr(args, 'max_steps', None),
         lr=args.lr,
         optimizer=args.optimizer,
+        shard_optimizer_state=args.shard_optimizer_state,
         momentum=args.momentum,
         weight_decay=args.weight_decay,
         lr_scheduler=args.lr_scheduler,

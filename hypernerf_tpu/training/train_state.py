@@ -97,6 +97,25 @@ def create_train_state(model: NerfModel, tx: optax.GradientTransformation,
                       opt_state=opt_state, occupancy=occupancy)
 
 
+def _zero1_sharding(mesh, leaf):
+    """NamedSharding partitioning ``leaf`` dim 0 over the data axis when
+    divisible (ZeRO-1 moment placement); replicated otherwise (scalar
+    counts, odd-sized leaves like the (num_frames, D) GLO embeddings)."""
+    from jax.sharding import NamedSharding
+    n = mesh.devices.size
+    ndim = getattr(leaf, 'ndim', 0)
+    if ndim >= 1 and leaf.shape[0] and leaf.shape[0] % n == 0:
+        return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    return NamedSharding(mesh, P())
+
+
+def shard_opt_state(mesh, opt_state):
+    """Constrain every optimizer-state leaf to its ZeRO-1 sharding."""
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(
+            x, _zero1_sharding(mesh, x)), opt_state)
+
+
 def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
                     nerf_cfg: NerfConfig, train_cfg: TrainConfig, mesh,
                     explicit_batch: bool = False, background_points=None):
@@ -120,6 +139,7 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
             f'number of devices {n_devices}')
     per_device_batch = train_cfg.batch_size // n_devices
     loss_fn = loss_dict[train_cfg.loss_type]
+    zero1 = train_cfg.shard_optimizer_state and n_devices > 1
 
     def device_step(state, all_rays, all_rgbs, base_rng):
         axis = jax.lax.axis_index(DATA_AXIS)
@@ -182,13 +202,17 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
         grads = jax.lax.pmean(grads, DATA_AXIS)
         loss = jax.lax.pmean(loss, DATA_AXIS)
         batch_mse = jax.lax.pmean(batch_mse, DATA_AXIS)
+        metrics = {'loss': loss, 'psnr': -10.0 * jnp.log10(batch_mse)}
+        if zero1:
+            # ZeRO-1: return the synced grads; the sharded optimizer update
+            # runs outside the shard_map under sharding constraints.
+            return grads, metrics
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state,
                                occupancy=state.occupancy)
-        metrics = {'loss': loss, 'psnr': -10.0 * jnp.log10(batch_mse)}
         return new_state, metrics
 
     batch_spec = P(DATA_AXIS) if explicit_batch else P()
@@ -198,7 +222,36 @@ def make_train_step(model: NerfModel, tx: optax.GradientTransformation,
         out_specs=(P(), P()),
         check_vma=False)
 
-    return jax.jit(sharded, donate_argnums=(0,))
+    if not zero1:
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding
+
+    def zero1_step(state, all_rays, all_rgbs, base_rng):
+        """The fairscale ddp_sharded equivalent (train.py:229): grads are
+        allreduced in the shard_map; the optimizer moments live sharded
+        over the data axis (each device updates 1/N of them — XLA turns
+        the elementwise Adam update into a sharded compute and gathers
+        the parameter deltas back, a reduce-scatter/all-gather pattern).
+        The math is elementwise per parameter, so the resulting step is
+        identical to the replicated update (tests/test_train.py)."""
+        # opt_state stays out of the shard_map (its P() in_spec would
+        # all-gather the sharded moments just to ignore them).
+        grads, metrics = sharded(state.replace(opt_state=None),
+                                 all_rays, all_rgbs, base_rng)
+        opt_state = shard_opt_state(mesh, state.opt_state)
+        updates, new_opt = tx.update(grads, opt_state, state.params)
+        new_opt = shard_opt_state(mesh, new_opt)
+        params = optax.apply_updates(state.params, updates)
+        params = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P())), params)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=new_opt,
+                               occupancy=state.occupancy)
+        return new_state, metrics
+
+    return jax.jit(zero1_step, donate_argnums=(0,))
 
 
 def make_occupancy_update(model: NerfModel, nerf_cfg: NerfConfig,

@@ -102,6 +102,57 @@ def test_multi_device_step_equals_single_device():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_zero1_optimizer_sharding_matches_replicated():
+    """--shard_optimizer_state (the fairscale ddp_sharded analogue,
+    /root/reference/train.py:229): the ZeRO-1 step produces the identical
+    update to the replicated one, and the Adam moments actually live
+    sharded over the data axis."""
+    cfg = tiny_nerf_config(use_stratified_sampling=False, noise_std=None)
+    rays, rgbs = _smooth_ray_batch(64)
+    rng = jax.random.PRNGKey(1)
+    mesh = create_mesh()
+    from hypernerf_tpu.parallel.mesh import shard_batch
+    b_rays = shard_batch(mesh, jnp.asarray(rays))
+    b_rgbs = shard_batch(mesh, jnp.asarray(rgbs))
+
+    results = {}
+    for zero1 in (False, True):
+        tc = TrainConfig(batch_size=64, lr=1e-3,
+                         shard_optimizer_state=zero1)
+        model = NerfModel(cfg)
+        tx = get_optimizer(tc, steps_per_epoch=100)
+        state = create_train_state(model, tx, tc, jax.random.PRNGKey(0),
+                                   rays[:8])
+        state = replicate(mesh, state)
+        step_fn = make_train_step(model, tx, cfg, tc, mesh,
+                                  explicit_batch=True)
+        for _ in range(2):
+            state, metrics = step_fn(state, b_rays, b_rgbs, rng)
+        results[zero1] = (jax.device_get(metrics['loss']), state)
+
+    loss_rep, state_rep = results[False]
+    loss_z1, state_z1 = results[True]
+    np.testing.assert_allclose(loss_rep, loss_z1, rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state_rep.params)),
+                    jax.tree.leaves(jax.device_get(state_z1.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state_rep.opt_state)),
+                    jax.tree.leaves(jax.device_get(state_z1.opt_state))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # The moments are materially sharded: every divisible leaf is split
+    # over the 8 devices (1/8 of the bytes per device), the rest replicated.
+    n_sharded = 0
+    for leaf in jax.tree.leaves(state_z1.opt_state):
+        if leaf.ndim >= 1 and leaf.shape[0] and leaf.shape[0] % 8 == 0:
+            assert not leaf.sharding.is_fully_replicated, leaf.shape
+            shard = leaf.addressable_shards[0]
+            assert shard.data.shape[0] == leaf.shape[0] // 8
+            n_sharded += 1
+    assert n_sharded > 0
+
+
 def test_batch_size_must_divide_devices():
     mesh = create_mesh()
     cfg = tiny_nerf_config()
