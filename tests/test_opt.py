@@ -49,6 +49,12 @@ def test_configs_from_args_resolution():
     assert train_cfg.decay_step == (10, 20)
 
 
+def test_shard_optimizer_state_flag():
+    assert configs_from_args(get_opts([]))[1].shard_optimizer_state is False
+    args = get_opts(['--shard_optimizer_state'])
+    assert configs_from_args(args)[1].shard_optimizer_state is True
+
+
 def test_eval_mode_flags():
     args = get_opts(['--split', 'test_train', '--save_depth',
                      '--depth_format', 'bytes', '--scene_name', 's'],

@@ -286,3 +286,72 @@ def test_reference_loader_reads_synthetic_scene(tmp_path):
     assert ref_rays.shape == tuple(my_ds.all_rays.shape)
     np.testing.assert_allclose(my_ds.all_rays, ref_rays, atol=2e-5)
     np.testing.assert_allclose(my_ds.all_rgbs, ref_rgbs, atol=1e-5)
+
+
+def test_import_torch_ckpt(tmp_path):
+    """tools/import_torch_ckpt.py converts a Lightning-style reference
+    checkpoint into an eval.py-consumable orbax checkpoint whose weights
+    equal the direct transplant, with --check rendering both frameworks."""
+    import torch
+
+    from hypernerf_tpu.training.checkpoints import extract_model_params
+    from tools.import_torch_ckpt import import_checkpoint
+    from tools.reference_parity import _flatten_tree, torch_to_flax_params
+
+    cfg = _fast_cfg()
+    torch_model = build_torch_model(cfg)
+    ckpt = tmp_path / 'ref.ckpt'
+    torch.save({
+        'state_dict': {'nerf.' + k: v
+                       for k, v in torch_model.state_dict().items()},
+        'global_step': 123,
+        'hyper_parameters': {'N_samples': 12, 'N_importance': 12,
+                             'noise_std': 1.0},
+    }, ckpt)
+
+    path, icfg = import_checkpoint(str(ckpt), str(tmp_path / 'imported'),
+                                   check=True)
+    assert path.endswith('step_123')
+    # Architecture resolved from hparams + tensor shapes.
+    assert icfg.num_coarse_samples == 12
+    assert icfg.num_embeddings == cfg.num_embeddings
+    assert icfg.glo_dim == cfg.glo_dim
+    import os
+    assert os.path.exists(str(tmp_path / 'imported' / 'nerf_config.json'))
+
+    direct = _flatten_tree(torch_to_flax_params(torch_model, cfg))
+    imported = extract_model_params(path)
+    assert set(direct) == set(imported)
+    for key, val in direct.items():
+        np.testing.assert_array_equal(np.asarray(imported[key]), val, key)
+
+
+def test_import_torch_ckpt_bare_state_dict(tmp_path):
+    """Bare state dicts (utils/save_weights_only.py output) import too,
+    with the architecture supplied as CLI flags."""
+    import torch
+
+    from tools.import_torch_ckpt import import_checkpoint
+
+    cfg = _fast_cfg(use_warp=False, hyper_slice_method='none')
+    torch_model = build_torch_model(cfg)
+    ckpt = tmp_path / 'weights.ckpt'
+    torch.save({'nerf.' + k: v for k, v in torch_model.state_dict().items()},
+               ckpt)
+    path, icfg = import_checkpoint(
+        str(ckpt), str(tmp_path / 'imported'),
+        override_argv=['--use_warp', 'false', '--slice_method', 'none',
+                       '--N_samples', '12', '--N_importance', '12'])
+    assert path.endswith('step_0')
+    assert icfg.use_warp is False and icfg.hyper_slice_method == 'none'
+
+
+def test_import_torch_ckpt_rejects_foreign(tmp_path):
+    import torch
+
+    from tools.import_torch_ckpt import import_checkpoint
+
+    ckpt = tmp_path / 'foreign.ckpt'
+    torch.save({'something.weight': torch.zeros(3)}, ckpt)
+    with pytest.raises(ValueError, match='nerf'):
+        import_checkpoint(str(ckpt), str(tmp_path / 'imported'))
