@@ -56,7 +56,7 @@ def mode_overrides(mode: str) -> dict:
     return {}
 
 
-def bench_render(mode: str, cfg, model):
+def bench_render(mode: str, cfg, model, chunk: int = 8192):
     """secs/frame at 504x378 (the BASELINE.json third metric): a full-frame
     forward render through the production tiled renderer (eval.py's path)."""
     import jax
@@ -84,7 +84,7 @@ def bench_render(mode: str, cfg, model):
     grid = None
     if cfg.use_occupancy_grid:
         grid = jax.random.uniform(rng, (cfg.occupancy_resolution,) * 3)
-    renderer = ImageRenderer(model, chunk=8192)
+    renderer = ImageRenderer(model, chunk=chunk)
 
     renderer(params, rays, occupancy_grid=grid)  # compile + warm
     n_frames = 5
@@ -105,7 +105,13 @@ def bench_render(mode: str, cfg, model):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--mode', choices=MODES, default='flagship')
-    parser.add_argument('--batch_per_chip', type=int, default=8192)
+    # 16384 is the measured throughput sweet spot on v5e (sweep: 8192 ->
+    # 75.8k, 16384 -> 77.0k, 32768 -> 76.8k rays/s; BENCHMARKS.md).
+    parser.add_argument('--batch_per_chip', type=int, default=16384)
+    # 16384 measured best on v5e (8192 -> 1.02, 16384 -> 0.99, 32768 ->
+    # 0.99 s/frame); bigger tiles amortize the lax.map loop overhead.
+    parser.add_argument('--render_chunk', type=int, default=16384,
+                        help='rays per lax.map tile in the render modes')
     args = parser.parse_args()
 
     from hypernerf_tpu.utils.platform import apply_platform_overrides
@@ -146,7 +152,7 @@ def main():
     mesh = create_mesh()
     model = NerfModel(cfg)
     if args.mode.startswith('render'):
-        return bench_render(args.mode, cfg, model)
+        return bench_render(args.mode, cfg, model, chunk=args.render_chunk)
     tx = get_optimizer(train_cfg, steps_per_epoch=1000)
 
     # Synthetic device-resident ray buffer (throughput is data-independent).
