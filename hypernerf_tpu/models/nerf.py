@@ -322,10 +322,15 @@ class NerfModel(nn.Module):
             # Always thread the warp window for the SE(3)/quaternion trunks
             # so warp_alpha is honored whenever set (ones = fully on).
             warp_windowed=cfg.warp_field_type in ('se3', 'quaternion'),
+            slice_method=cfg.hyper_slice_method,
             hyper_depth=cfg.hyper_sheet_depth,
             hyper_width=cfg.hyper_sheet_width,
             hyper_sheet_freq=cfg.hyper_sheet_freq,
-            hyper_out=cfg.hyper_slice_out_dim,
+            # axis_aligned_plane: the hyper coords ARE the embed
+            # (models.py:514-543) — no hyper MLP runs in the kernel.
+            hyper_out=(cfg.glo_dim
+                       if cfg.hyper_slice_method == 'axis_aligned_plane'
+                       else cfg.hyper_slice_out_dim),
             use_original_embed=cfg.use_original_embed,
             xyz_freq=cfg.xyz_freq, hyper_freq=cfg.hyper_freq,
             spatial_min_deg=cfg.spatial_point_min_deg,
@@ -369,8 +374,9 @@ class NerfModel(nn.Module):
             flat_cond(alpha_condition) if alpha_condition is not None
             else None,
             warp_pairs,
-            mlp_params_to_list(
-                self.hyper_sheet_mlp.variables['params']['mlp']),
+            (mlp_params_to_list(
+                self.hyper_sheet_mlp.variables['params']['mlp'])
+             if cfg.hyper_slice_method == 'bendy_sheet' else []),
             nerf_mlp_params_to_list(mlp_mod.variables['params']),
             tmpl_enc_scales=tmpl_scales,
             warp_enc_scales=warp_scales,
@@ -679,7 +685,8 @@ class NerfModel(nn.Module):
         # Fully fused fast path: warp + hyper sheet + template in one Pallas
         # kernel per level (ops/pallas/fused_level.py).
         if (cfg.use_pallas and cfg.use_pallas_level and use_warp
-                and cfg.hyper_slice_method == 'bendy_sheet'
+                and cfg.hyper_slice_method in ('bendy_sheet',
+                                               'axis_aligned_plane')
                 and cfg.hyper_use_warp_embed
                 and warp_embed is not None
                 and not return_points

@@ -9,7 +9,10 @@ serialization barriers between them; here the whole per-sample pipeline
                           -> hyper-sheet MLP -> hyper coords
     [warped | hyper] -> posenc -> template MLP -> (rgb, alpha)
 
-runs inside one Pallas kernel per tile. The backward is one kernel too:
+runs inside one Pallas kernel per tile. ``slice_method='axis_aligned_plane'``
+covers the reference's other hyper slicing (models.py:514-543): the hyper
+coords are the embed itself, so the hyper MLP drops out and d_hyper routes
+straight into the per-ray embed gradient. The backward is one kernel too:
 it recomputes the chain per tile and backpropagates through the template
 (fused_mlp._backward_tile), both fields (fused_field._backward_tile), and the
 residual warp connection, accumulating every fp32 dW/db across the grid.
@@ -60,7 +63,12 @@ class FusedLevelSpec(NamedTuple):
     se3_use_metadata: bool = True
     # warp_alpha annealing window for the SE(3) encoding (scale-row input).
     warp_windowed: bool = False
-    # hyper sheet
+    # hyper slicing: 'bendy_sheet' (posenc_orig ++ embed -> hyper MLP ->
+    # hyper coords, models.py:514-543) or 'axis_aligned_plane' (the hyper
+    # coords ARE the embed — no hyper MLP; hyper_out must equal embed_ch
+    # and the embed gradient receives d_hyper directly).
+    slice_method: str = 'bendy_sheet'
+    # hyper sheet (bendy_sheet only)
     hyper_depth: int = 6
     hyper_width: int = 64
     hyper_sheet_freq: int = 7
@@ -157,6 +165,11 @@ class FusedLevelSpec(NamedTuple):
         return _rup(self.embed_ch, 8)
 
     @property
+    def tmpl_raw_pad(self):
+        """Lane padding of the template's raw [warped|hyper] residual."""
+        return fm.raw_pad_for(3 + self.hyper_out)
+
+    @property
     def n_warp_layers(self):
         # translation: hidden + logit; se3/quaternion: hidden + trunk
         # logit + w + v.
@@ -165,6 +178,8 @@ class FusedLevelSpec(NamedTuple):
 
     @property
     def n_hyper_layers(self):
+        if self.slice_method != 'bendy_sheet':
+            return 0
         return self.hyper_depth + 1
 
     @property
@@ -337,9 +352,15 @@ def _forward_values(spec: FusedLevelSpec, x_raw, rgbc, alphac, wbs,
     pts = x_raw[:, :3].astype(jnp.float32)
     raw_f = x_raw[:, :3 + s.embed_ch]
     warped, warp_vals = _warp_fwd_tile(s, pts, raw_f, warp_wbs, warp_scales)
-    *_, hyper_out = ff._forward_tile(s.hyper_fs, raw_f, hyper_wbs,
-                                     trig=_hyper_trig_from_warp(s, warp_vals))
-    hyper = hyper_out[:, :s.hyper_out]
+    if s.slice_method == 'bendy_sheet':
+        *_, hyper_out = ff._forward_tile(
+            s.hyper_fs, raw_f, hyper_wbs,
+            trig=_hyper_trig_from_warp(s, warp_vals))
+        hyper = hyper_out[:, :s.hyper_out]
+    else:
+        # axis_aligned_plane: the hyper coords ARE the embed
+        # (models.py:514-543 map_hyper_points).
+        hyper = raw_f[:, 3:3 + s.embed_ch].astype(jnp.float32)
     raw_t = jnp.concatenate([warped, hyper], axis=-1)
     rgb, alpha, _ = fm._forward_tile(s.tmpl_fs, raw_t, rgbc, alphac, tmpl_wbs,
                                      enc_scales=tmpl_scales)
@@ -383,7 +404,7 @@ def _make_fwd_kernel(spec: FusedLevelSpec, has_ac: bool):
              jnp.zeros((t, OUT_PAD - s.rgb_channels - s.alpha_channels),
                        jnp.float32)], axis=-1)
         rawt_ref[:] = jnp.concatenate(
-            [raw_t, jnp.zeros((t, fm.RAW_PAD - raw_t.shape[1]),
+            [raw_t, jnp.zeros((t, s.tmpl_raw_pad - raw_t.shape[1]),
                               jnp.float32)], axis=-1)
     return kernel
 
@@ -483,10 +504,13 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
         raw_f = x_raw[:, :3 + s.embed_ch]
         warped, warp_vals = _warp_fwd_tile(s, pts, raw_f, warp_wbs,
                                            warp_scales)
-        hyper_vals = ff._forward_tile(s.hyper_fs, raw_f, hyper_wbs,
-                                      trig=_hyper_trig_from_warp(s,
-                                                                 warp_vals))
-        hyper = hyper_vals[-1][:, :s.hyper_out]
+        if s.slice_method == 'bendy_sheet':
+            hyper_vals = ff._forward_tile(
+                s.hyper_fs, raw_f, hyper_wbs,
+                trig=_hyper_trig_from_warp(s, warp_vals))
+            hyper = hyper_vals[-1][:, :s.hyper_out]
+        else:
+            hyper = raw_f[:, 3:3 + s.embed_ch].astype(jnp.float32)
         raw_t = jnp.concatenate([warped, hyper], axis=-1)
         t = x_raw.shape[0]
 
@@ -495,22 +519,31 @@ def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
             s.tmpl_fs, raw_t, rgbc, alphac, g_ref[:], tmpl_wbs,
             enc_scales=tmpl_scales)
         d_warped = dx_t[:, :3]
-        d_hyper = dx_t[:, 3:]
+        d_hyper = dx_t[:, 3:3 + s.hyper_out]
 
-        # Hyper-sheet backward.
-        g_h = jnp.concatenate(
-            [d_hyper, jnp.zeros((t, ff.OUT_PAD - s.hyper_out), jnp.float32)],
-            axis=-1)
-        d_rawf_h, h_grads = ff._backward_tile(s.hyper_fs, raw_f, g_h,
-                                              hyper_wbs, fwd_vals=hyper_vals)
+        if s.slice_method == 'bendy_sheet':
+            # Hyper-sheet backward.
+            g_h = jnp.concatenate(
+                [d_hyper,
+                 jnp.zeros((t, ff.OUT_PAD - s.hyper_out), jnp.float32)],
+                axis=-1)
+            d_rawf_h, h_grads = ff._backward_tile(
+                s.hyper_fs, raw_f, g_h, hyper_wbs, fwd_vals=hyper_vals)
+        else:
+            d_rawf_h, h_grads = None, []
 
         # Warp backward (residual translation or SE(3) exponential).
         d_pts_w, d_emb_w, w_grads = _warp_bwd_tile(
             s, pts, raw_f, warp_wbs, d_warped, warp_scales,
             fwd_vals=warp_vals)
 
-        d_pts = d_pts_w + d_rawf_h[:, :3]
-        d_emb = d_emb_w + d_rawf_h[:, 3:]
+        if s.slice_method == 'bendy_sheet':
+            d_pts = d_pts_w + d_rawf_h[:, :3]
+            d_emb = d_emb_w + d_rawf_h[:, 3:]
+        else:
+            # Plane slicing: d_hyper IS the embed gradient.
+            d_pts = d_pts_w
+            d_emb = d_emb_w + d_hyper
         if s.cond_samples:
             _write_ray_grads(s, x_ref, od_exp, d_pts, d_emb,
                              dx_ref, dod_ref, demb_ref)
@@ -541,9 +574,10 @@ def _pad_all_params(spec: FusedLevelSpec, warp_pairs, hyper_pairs,
         warp_padded = fs3._pad_params(spec.warp_fs, warp_pairs)
     else:
         warp_padded = ff._pad_params(spec.warp_fs, warp_pairs)
-    return (warp_padded
-            + ff._pad_params(spec.hyper_fs, hyper_pairs)
-            + fm._pad_params(spec.tmpl_fs, tmpl_pairs))
+    hyper_padded = (ff._pad_params(spec.hyper_fs, hyper_pairs)
+                    if spec.slice_method == 'bendy_sheet' else [])
+    return warp_padded + hyper_padded + fm._pad_params(spec.tmpl_fs,
+                                                       tmpl_pairs)
 
 
 def _data_specs(spec, widths):
@@ -624,18 +658,27 @@ def _make_fields_bwd_kernel(spec: FusedLevelSpec):
         # Run the warp forward first so the hyper backward's recompute can
         # slice its band trig (and the warp backward reuses the fwd_vals).
         _, warp_vals = _warp_fwd_tile(s, pts, raw_f, warp_wbs, warp_scales)
-        g_h = jnp.concatenate(
-            [d_hyper, jnp.zeros((t, ff.OUT_PAD - s.hyper_out), jnp.float32)],
-            axis=-1)
-        d_rawf_h, h_grads = ff._backward_tile(
-            s.hyper_fs, raw_f, g_h, hyper_wbs,
-            trig=_hyper_trig_from_warp(s, warp_vals))
+        if s.slice_method == 'bendy_sheet':
+            g_h = jnp.concatenate(
+                [d_hyper,
+                 jnp.zeros((t, ff.OUT_PAD - s.hyper_out), jnp.float32)],
+                axis=-1)
+            d_rawf_h, h_grads = ff._backward_tile(
+                s.hyper_fs, raw_f, g_h, hyper_wbs,
+                trig=_hyper_trig_from_warp(s, warp_vals))
+        else:
+            d_rawf_h, h_grads = None, []
         d_pts_w, d_emb_w, w_grads = _warp_bwd_tile(s, pts, raw_f, warp_wbs,
                                                    d_warped, warp_scales,
                                                    fwd_vals=warp_vals)
 
-        d_pts = d_pts_w + d_rawf_h[:, :3]
-        d_emb = d_emb_w + d_rawf_h[:, 3:]
+        if s.slice_method == 'bendy_sheet':
+            d_pts = d_pts_w + d_rawf_h[:, :3]
+            d_emb = d_emb_w + d_rawf_h[:, 3:]
+        else:
+            # Plane slicing: d_hyper IS the embed gradient.
+            d_pts = d_pts_w
+            d_emb = d_emb_w + d_hyper
         if s.cond_samples:
             _write_ray_grads(s, x_ref, od_exp, d_pts, d_emb,
                              dx_ref, dod_ref, demb_ref)
@@ -667,7 +710,7 @@ def _fields_bwd_call(spec: FusedLevelSpec, x_raw, od, emb, dx_t,
                                  lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)]
     in_specs = (_data_specs(s, [x_raw.shape[1]]) + ray_specs + sc_specs
-                + _data_specs(s, [fm.RAW_PAD]) + w_specs)
+                + _data_specs(s, [s.tmpl_raw_pad]) + w_specs)
     out_shapes = [jax.ShapeDtypeStruct((p, x_raw.shape[1]), jnp.float32)]
     out_specs = _data_specs(s, [x_raw.shape[1]])
     if s.cond_samples:
@@ -738,11 +781,11 @@ def _fused(spec, x_raw, od, emb, rgbc, alphac, warp_scales, tmpl_scales,
         out_specs=[
             pl.BlockSpec((s.tile, OUT_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s.tile, fm.RAW_PAD), lambda i: (i, 0),
+            pl.BlockSpec((s.tile, s.tmpl_raw_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((p, OUT_PAD), jnp.float32),
-                   jax.ShapeDtypeStruct((p, fm.RAW_PAD), jnp.float32)],
+                   jax.ShapeDtypeStruct((p, s.tmpl_raw_pad), jnp.float32)],
         interpret=s.interpret,
         compiler_params=vmem_params(s.interpret),
     )(*data_in, *wsc_in, *sc_in, *w_in)
@@ -842,7 +885,7 @@ def _fused_bwd_split(spec, x_raw, od, emb, rgbc, alphac, warp_scales,
     outs_t = fm._bwd_call(s.tmpl_fs, raw_t, rgbc, alphac, tmpl_wbs, g,
                           enc_scales=tmpl_scales)
     has_ac = alphac is not None
-    dx_t = outs_t[0]            # (P, fm.RAW_PAD) fp32
+    dx_t = outs_t[0]            # (P, s.tmpl_raw_pad) fp32
     drgbc = outs_t[1].astype(rgbc.dtype)
     o = 2
     dalphac = outs_t[o].astype(alphac.dtype) if has_ac else None
@@ -907,6 +950,10 @@ def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
     assert not (s.warp_windowed
                 and s.warp_type not in ('se3', 'quaternion')), \
         'warp window applies to the SE(3)/quaternion encoding only'
+    if s.slice_method != 'bendy_sheet':
+        assert s.hyper_out == s.embed_ch, \
+            'plane slicing: the hyper coords are the embed itself'
+        assert not hyper_pairs, 'plane slicing has no hyper MLP'
     import math as _math
     if s.cond_samples:
         assert points is None and z_vals is not None

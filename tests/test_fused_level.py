@@ -200,6 +200,110 @@ def test_fused_level_with_alpha_condition():
                                np.asarray(ref['rgb']), rtol=1e-4, atol=1e-5)
 
 
+PLANE_SPEC = SPEC._replace(slice_method='axis_aligned_plane', hyper_out=E)
+
+
+def _plane_reference(pts, embed, rgbc, warp_mh, tmpl_mh):
+    """Dense composition for axis_aligned_plane: hyper coords = the embed
+    (models.py:514-543), no hyper MLP."""
+    warp, wp = warp_mh
+    tmpl, tp = tmpl_mh
+    embed_b = jnp.broadcast_to(embed[:, None, :], (B, S, E))
+    warped = warp.apply({'params': wp}, pts, embed_b)['warped_points']
+    feat = jnp.concatenate([posenc_orig(warped, 4),
+                            posenc_orig(embed_b, 2)], -1)
+    out = tmpl.apply({'params': tp}, feat, rgb_condition=rgbc)
+    return out['rgb'], out['alpha']
+
+
+def _plane_setup(seed=0):
+    rs = np.random.RandomState(seed)
+    pts = jnp.asarray(rs.randn(B, S, 3).astype(np.float32) * 0.4)
+    embed = jnp.asarray(rs.randn(B, E).astype(np.float32) * 0.2)
+    rgbc = jnp.asarray(rs.randn(B, 11).astype(np.float32))
+    warp = TranslationField(depth=2, width=16, n_freq=4, skips=(1,))
+    tmpl = NerfMLP(trunk_depth=3, trunk_width=32, rgb_branch_depth=2,
+                   rgb_branch_width=16, skips=(1,))
+    embed_b = jnp.broadcast_to(embed[:, None, :], (B, S, E))
+    wp = warp.init(jax.random.PRNGKey(0), pts, embed_b)['params']
+    feat = jnp.concatenate([posenc_orig(pts, 4),
+                            posenc_orig(embed_b, 2)], -1)
+    tp = tmpl.init(jax.random.PRNGKey(2), feat, rgb_condition=rgbc)['params']
+    return pts, embed, rgbc, (warp, wp), (tmpl, tp)
+
+
+def test_fused_level_plane_forward_matches_composition():
+    pts, embed, rgbc, wm, tm = _plane_setup()
+    ref_rgb, ref_alpha = _plane_reference(pts, embed, rgbc, wm, tm)
+    wp = mlp_params_to_list(wm[1]['mlp'])
+    tp = nerf_mlp_params_to_list(tm[1])
+    emb_flat = jnp.broadcast_to(embed[:, None, :], (B, S, E)).reshape(-1, E)
+    rgbc_flat = jnp.broadcast_to(rgbc[:, None, :], (B, S, 11)).reshape(-1, 11)
+    out = fused_level(PLANE_SPEC, pts.reshape(-1, 3), emb_flat, rgbc_flat,
+                      None, wp, [], tp)
+    np.testing.assert_allclose(np.asarray(out['rgb']).reshape(B, S, 3),
+                               np.asarray(ref_rgb), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out['alpha']).reshape(B, S, 1),
+                               np.asarray(ref_alpha), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_level_plane_backward_matches_composition():
+    """d_embed must carry BOTH the warp-MLP path and the direct hyper-coord
+    path (d_hyper routes straight to the embed in plane mode)."""
+    pts, embed, rgbc, (warp, wp0), (tmpl, tp0) = _plane_setup(seed=5)
+    tgt = jnp.asarray(np.random.RandomState(9).randn(B, S, 3), jnp.float32)
+
+    def loss_ref(wp, tp, pts, embed):
+        embed_b = jnp.broadcast_to(embed[:, None, :], (B, S, E))
+        warped = warp.apply({'params': wp}, pts, embed_b)['warped_points']
+        feat = jnp.concatenate([posenc_orig(warped, 4),
+                                posenc_orig(embed_b, 2)], -1)
+        out = tmpl.apply({'params': tp}, feat, rgb_condition=rgbc)
+        return (jnp.mean((out['rgb'] - tgt) ** 2)
+                + jnp.mean(out['alpha'] ** 2))
+
+    def loss_fused(wp_l, tp_l, pts, embed):
+        emb_flat = jnp.broadcast_to(embed[:, None, :],
+                                    (B, S, E)).reshape(-1, E)
+        rgbc_flat = jnp.broadcast_to(rgbc[:, None, :],
+                                     (B, S, 11)).reshape(-1, 11)
+        out = fused_level(PLANE_SPEC, pts.reshape(-1, 3), emb_flat,
+                          rgbc_flat, None, wp_l, [], tp_l)
+        rgb = out['rgb'].reshape(B, S, 3)
+        return jnp.mean((rgb - tgt) ** 2) + jnp.mean(out['alpha'] ** 2)
+
+    wp_l = mlp_params_to_list(wp0['mlp'])
+    tp_l = nerf_mlp_params_to_list(tp0)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(wp_l, tp_l, pts, embed)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(wp0, tp0, pts, embed)
+
+    np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gr[2]),
+                               rtol=1e-3, atol=1e-5, err_msg='d_points')
+    np.testing.assert_allclose(np.asarray(gf[3]), np.asarray(gr[3]),
+                               rtol=1e-3, atol=1e-5, err_msg='d_embed')
+    for i, (dw, db) in enumerate(gf[0]):
+        name = f'hidden_{i}' if i < 2 else 'logit'
+        np.testing.assert_allclose(np.asarray(dw),
+                                   np.asarray(gr[0]['mlp'][name]['kernel']),
+                                   rtol=1e-3, atol=1e-5, err_msg=f'warp {name}')
+    # Single-kernel backward agrees with the split backward too.
+    spec1 = PLANE_SPEC._replace(split_bwd=False)
+
+    def loss_one(wp_l, tp_l, pts, embed):
+        emb_flat = jnp.broadcast_to(embed[:, None, :],
+                                    (B, S, E)).reshape(-1, E)
+        rgbc_flat = jnp.broadcast_to(rgbc[:, None, :],
+                                     (B, S, 11)).reshape(-1, 11)
+        out = fused_level(spec1, pts.reshape(-1, 3), emb_flat,
+                          rgbc_flat, None, wp_l, [], tp_l)
+        rgb = out['rgb'].reshape(B, S, 3)
+        return jnp.mean((rgb - tgt) ** 2) + jnp.mean(out['alpha'] ** 2)
+
+    g1 = jax.grad(loss_one, argnums=(0, 1, 2, 3))(wp_l, tp_l, pts, embed)
+    np.testing.assert_allclose(np.asarray(g1[3]), np.asarray(gf[3]),
+                               rtol=1e-5, atol=1e-7, err_msg='split vs one')
+
+
 def test_fused_level_single_kernel_backward_matches_split():
     """The split (two-kernel) and fused (one-kernel) backwards agree."""
     pts, embed, rgbc, (warp, wp0), (hyper, hp0), (tmpl, tp0) = _setup(seed=3)

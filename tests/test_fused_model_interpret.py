@@ -69,7 +69,8 @@ def _run(cfg, return_warp_jacobian=False, seed=0):
     dict(warp_field_type='se3'),
     dict(warp_field_type='quaternion'),
     dict(warp_field_type='translation', use_original_embed=False),  # anneal
-], ids=['translation', 'se3', 'quaternion', 'anneal'])
+    dict(hyper_slice_method='axis_aligned_plane'),
+], ids=['translation', 'se3', 'quaternion', 'anneal', 'plane'])
 def test_fused_model_matches_dense(variant):
     """use_pallas_level under the interpreter == the dense XLA model."""
     warp_type = variant.get('warp_field_type')

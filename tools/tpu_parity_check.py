@@ -161,6 +161,26 @@ def main():
                                                   pallas_bwd_tile=512))],
             check_grads=True)
 
+    # Axis-aligned-plane slicing: the hyper coords ARE the embed
+    # (models.py:514-543) — the fused level skips the hyper MLP and routes
+    # d_hyper straight into the embed gradient; verify forward AND grads.
+    # Grads compare mid-anneal like the se3/quat groups: fully-on 2^9 bands
+    # carry ~7e-3 bf16 phase noise in BOTH paths (the flagship group skips
+    # grad checks for the same reason; measured identical for the
+    # level-kernel and no-level-kernel combos).
+    plane = dataclasses.replace(base,
+                                hyper_slice_method='axis_aligned_plane',
+                                use_original_embed=False)
+    m = NerfModel(plane)
+    plane_vars = m.init({'params': key, 'sampling': key}, rd)
+    compare('plane+anneal', plane, plane_vars, mid_alphas,
+            [('template + field kernels', dict(use_pallas=True,
+                                               use_pallas_fields=True)),
+             ('plane fused level kernel', dict(use_pallas=True,
+                                               use_pallas_fields=True,
+                                               use_pallas_level=True))],
+            check_grads=True)
+
     sys.exit(1 if failures else 0)
 
 
