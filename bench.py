@@ -112,6 +112,17 @@ def main():
     # 0.99 s/frame); bigger tiles amortize the lax.map loop overhead.
     parser.add_argument('--render_chunk', type=int, default=16384,
                         help='rays per lax.map tile in the render modes')
+    # Kernel-config overrides (default: NerfConfig defaults) for sweeps.
+    parser.add_argument('--pipelined_bwd', type=int, choices=(0, 1),
+                        default=None,
+                        help='override NerfConfig.pallas_pipelined_bwd')
+    parser.add_argument('--pipelined_fwd', type=int, choices=(0, 1),
+                        default=None,
+                        help='override NerfConfig.pallas_pipelined_fwd')
+    parser.add_argument('--bwd_tile', type=int, default=None,
+                        help='override NerfConfig.pallas_bwd_tile')
+    parser.add_argument('--fwd_tile', type=int, default=None,
+                        help='override NerfConfig.pallas_tile')
     args = parser.parse_args()
 
     from hypernerf_tpu.utils.platform import apply_platform_overrides
@@ -141,6 +152,14 @@ def main():
         compute_dtype='bfloat16',
     )
     cfg_kwargs.update(mode_overrides(args.mode))
+    if args.pipelined_bwd is not None:
+        cfg_kwargs['pallas_pipelined_bwd'] = bool(args.pipelined_bwd)
+    if args.pipelined_fwd is not None:
+        cfg_kwargs['pallas_pipelined_fwd'] = bool(args.pipelined_fwd)
+    if args.bwd_tile is not None:
+        cfg_kwargs['pallas_bwd_tile'] = args.bwd_tile
+    if args.fwd_tile is not None:
+        cfg_kwargs['pallas_tile'] = args.fwd_tile
     cfg = NerfConfig(**cfg_kwargs)
     # elastic: the flagship model + the Nerfies elastic penalty, which adds
     # the warp-Jacobian side channel (batched pullbacks on the dense warp;

@@ -101,6 +101,16 @@ class NerfConfig:
     # split: the template backward runs at tile 512 — its VMEM ceiling —
     # and the lean fields backward fits 1024 comfortably).
     pallas_bwd_tile: int = 1024
+    # Software-pipelined level backward: one kernel interleaving the
+    # template backward of tile i with the fields backward of tile i-1
+    # (fused_level._make_pipelined_bwd_kernel) — Mosaic overlaps the
+    # alternating independent streams, hiding the lane-starved fields work
+    # under the 256-wide template matmuls. Both stages run at
+    # pallas_bwd_tile. Numerics identical to the split backward.
+    pallas_pipelined_bwd: bool = False
+    # Same pipelining for the level forward (fields tile i interleaved
+    # with template tile i-1).
+    pallas_pipelined_fwd: bool = False
     # Elastic-loss Jacobian subsampling: with K > 0 the fused-path warp
     # Jacobian is evaluated at only K points per ray, drawn proportional to
     # the rendering weights (an unbiased importance estimator of the

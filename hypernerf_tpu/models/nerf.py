@@ -349,6 +349,8 @@ class NerfModel(nn.Module):
             bwd_tile=bwd_tile,
             compute_dtype=cfg.compute_dtype,
             cond_samples=cond_samples,
+            pipelined_bwd=cfg.pallas_pipelined_bwd,
+            pipelined_fwd=cfg.pallas_pipelined_fwd,
             interpret=cfg.pallas_interpret)
         tmpl_scales = None
         if not cfg.use_original_embed:

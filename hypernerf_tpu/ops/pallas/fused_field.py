@@ -141,6 +141,27 @@ def encoding_scales(segments, alphas, dtype=jnp.float32):
     return jnp.pad(flat, (0, _rup(enc_ch, LANE) - enc_ch))[None, :]
 
 
+def _band_trig_gen(seg_x, ch: int, n_freq: int, min_deg: int = 0):
+    """Generator form of _band_trig: yields between the band matmul and
+    each transcendental so an interleaved co-stream (common.interleave) can
+    slot MXU work into the long VPU stretches."""
+    band = _band_matrix(ch, n_freq, min_deg)
+    xbt = jax.lax.dot_general(band, seg_x, (((0,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    yield
+    nb = n_freq * ch
+    pad = (-nb) % 8
+    if pad:
+        xbt = jnp.concatenate(
+            [xbt, jnp.zeros((pad, seg_x.shape[0]), jnp.float32)], axis=0)
+    sin_t = jnp.sin(xbt)
+    yield
+    cos_t = jnp.cos(xbt)
+    yield
+    sc = jnp.concatenate([sin_t, cos_t], axis=0).T
+    return sc[:, :nb], sc[:, nb + pad:2 * nb + pad]
+
+
 def _band_trig(seg_x, ch: int, n_freq: int, min_deg: int = 0):
     """fp32 (sin, cos) of the band products, each (T, n_freq*ch).
 
@@ -150,31 +171,13 @@ def _band_trig(seg_x, ch: int, n_freq: int, min_deg: int = 0):
     cheap lane-padded transpose back. Bit-identical to the row-major
     form: the K=3 contraction is the same sum either way.
     """
-    band = _band_matrix(ch, n_freq, min_deg)
-    xbt = jax.lax.dot_general(band, seg_x, (((0,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    nb = n_freq * ch
-    pad = (-nb) % 8
-    if pad:
-        xbt = jnp.concatenate(
-            [xbt, jnp.zeros((pad, seg_x.shape[0]), jnp.float32)], axis=0)
-    sc = jnp.concatenate([jnp.sin(xbt), jnp.cos(xbt)], axis=0).T
-    return sc[:, :nb], sc[:, nb + pad:2 * nb + pad]
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_band_trig_gen(seg_x, ch, n_freq, min_deg))
 
 
-def _encode(spec: FusedFieldSpec, x, scales=None, trig=None,
-            return_trig=False):
-    """Per-segment posenc in VMEM; returns (T, enc_pad) compute-dtype.
-
-    ``scales``: optional (1, enc_pad) fp32 per-feature window weights.
-    ``trig``: optional per-segment [(sin_xb, cos_xb) fp32 | None] — reuses
-    band trig already computed on the same points (e.g. the hyper sheet
-    slicing the warp field's lower bands) instead of evaluating sin/cos.
-    ``return_trig`` additionally returns that list for this call, so the
-    backward (``_encode_bwd``) can reuse the fp32 values the recompute
-    already produced — bit-identical and roughly half the kernel's
-    transcendentals.
-    """
+def _encode_gen(spec: FusedFieldSpec, x, scales=None, trig=None,
+                return_trig=False):
+    """Generator form of _encode (yields inside each segment's band trig)."""
     dt = jnp.dtype(spec.compute_dtype)
     parts = []
     trig_out = []
@@ -190,7 +193,8 @@ def _encode(spec: FusedFieldSpec, x, scales=None, trig=None,
         if trig is not None and trig[k] is not None:
             sin_xb, cos_xb = trig[k]
         else:
-            sin_xb, cos_xb = _band_trig(seg_x, ch, n_freq, min_deg)
+            sin_xb, cos_xb = yield from _band_trig_gen(seg_x, ch, n_freq,
+                                                       min_deg)
         trig_out.append((sin_xb, cos_xb))
         if ident:
             parts.append(seg_x.astype(dt))
@@ -206,13 +210,25 @@ def _encode(spec: FusedFieldSpec, x, scales=None, trig=None,
     return enc
 
 
-def _encode_bwd(spec: FusedFieldSpec, x, g_enc, scales=None, trig=None):
-    """VJP of _encode: (T, enc_pad) cotangent -> (T, raw_ch).
+def _encode(spec: FusedFieldSpec, x, scales=None, trig=None,
+            return_trig=False):
+    """Per-segment posenc in VMEM; returns (T, enc_pad) compute-dtype.
 
-    ``trig``: optional per-segment [(sin_xb, cos_xb) fp32 | None] from the
-    forward recompute (``_encode(..., return_trig=True)``) — skips
-    re-evaluating the band matmul and sin/cos with bit-identical results.
+    ``scales``: optional (1, enc_pad) fp32 per-feature window weights.
+    ``trig``: optional per-segment [(sin_xb, cos_xb) fp32 | None] — reuses
+    band trig already computed on the same points (e.g. the hyper sheet
+    slicing the warp field's lower bands) instead of evaluating sin/cos.
+    ``return_trig`` additionally returns that list for this call, so the
+    backward (``_encode_bwd``) can reuse the fp32 values the recompute
+    already produced — bit-identical and roughly half the kernel's
+    transcendentals.
     """
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_encode_gen(spec, x, scales, trig, return_trig))
+
+
+def _encode_bwd_gen(spec: FusedFieldSpec, x, g_enc, scales=None, trig=None):
+    """Generator form of _encode_bwd (yields per segment contraction)."""
     if scales is not None:
         g_enc = g_enc.astype(jnp.float32) * scales.astype(jnp.float32)
     parts = []
@@ -232,16 +248,30 @@ def _encode_bwd(spec: FusedFieldSpec, x, g_enc, scales=None, trig=None):
         if trig is not None and trig[k] is not None:
             sin_xb, cos_xb = trig[k]
         else:
-            sin_xb, cos_xb = _band_trig(seg_x, ch, n_freq, min_deg)
+            sin_xb, cos_xb = yield from _band_trig_gen(seg_x, ch, n_freq,
+                                                       min_deg)
         off = ch if ident else 0
         g_sin = g_seg[:, off:off + n_freq * ch]
         g_cos = g_seg[:, off + n_freq * ch:]
         flat = cos_xb * g_sin - sin_xb * g_cos
+        yield
         # Contract back with the band matrix (freqs folded in) on the MXU.
         dx = jax.lax.dot_general(flat, band, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        yield
         parts.append((g_seg[:, :ch] + dx) if ident else dx)
     return jnp.concatenate(parts, axis=-1)
+
+
+def _encode_bwd(spec: FusedFieldSpec, x, g_enc, scales=None, trig=None):
+    """VJP of _encode: (T, enc_pad) cotangent -> (T, raw_ch).
+
+    ``trig``: optional per-segment [(sin_xb, cos_xb) fp32 | None] from the
+    forward recompute (``_encode(..., return_trig=True)``) — skips
+    re-evaluating the band matmul and sin/cos with bit-identical results.
+    """
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_encode_bwd_gen(spec, x, g_enc, scales, trig))
 
 
 def _layer_row_segs(spec: FusedFieldSpec):
@@ -295,12 +325,15 @@ def _dot_acc(h, g):
                                preferred_element_type=jnp.float32)
 
 
-def _forward_tile(spec: FusedFieldSpec, x_raw, wbs, scales=None, trig=None):
-    """One tile forward. ``trig`` optionally injects precomputed band
-    sin/cos (see _encode); the returned tuple carries this tile's trig so
-    backward passes can reuse it."""
+def _forward_tile_gen(spec: FusedFieldSpec, x_raw, wbs, scales=None,
+                      trig=None):
+    """Generator form of _forward_tile: yields at op-group boundaries so
+    pipelined kernels can interleave this stream with an independent tile
+    (common.interleave). Returns the same tuple as _forward_tile."""
     dt = jnp.dtype(spec.compute_dtype)
-    enc, trig = _encode(spec, x_raw, scales, trig=trig, return_trig=True)
+    enc, trig = yield from _encode_gen(spec, x_raw, scales, trig=trig,
+                                       return_trig=True)
+    yield
     ins, outs = [], []
     h = enc
     for i in range(spec.depth):
@@ -308,6 +341,7 @@ def _forward_tile(spec: FusedFieldSpec, x_raw, wbs, scales=None, trig=None):
         ins.append(h)
         from hypernerf_tpu.ops.pallas.fused_mlp import _dot_act
         h = _dot_act(h, w, b, dt)
+        yield
         outs.append(h)
         if i in spec.skips:
             h = jnp.concatenate([h, enc], axis=-1)
@@ -315,6 +349,14 @@ def _forward_tile(spec: FusedFieldSpec, x_raw, wbs, scales=None, trig=None):
     logit_in = h
     out = _dot(h, w) + b.astype(jnp.float32)  # (T, OUT_PAD) fp32
     return enc, trig, ins, outs, logit_in, out
+
+
+def _forward_tile(spec: FusedFieldSpec, x_raw, wbs, scales=None, trig=None):
+    """One tile forward. ``trig`` optionally injects precomputed band
+    sin/cos (see _encode); the returned tuple carries this tile's trig so
+    backward passes can reuse it."""
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_forward_tile_gen(spec, x_raw, wbs, scales, trig))
 
 
 def _make_fwd_kernel(spec: FusedFieldSpec, n_layers: int):
@@ -331,20 +373,14 @@ def _make_fwd_kernel(spec: FusedFieldSpec, n_layers: int):
     return kernel
 
 
-def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None,
-                   scales=None, trig=None):
-    """Recompute + backprop one tile (pure values, reusable by other kernels).
-
-    ``fwd_vals`` may carry a precomputed ``_forward_tile`` result to avoid a
-    duplicate recompute when the caller already ran the forward in this tile.
-    ``trig`` optionally injects shared band sin/cos into the recompute.
-
-    Returns (dx_raw (T, raw_ch) fp32, [(dW, db) fp32 per layer]).
-    """
+def _backward_tile_gen(spec: FusedFieldSpec, x_raw, g_out, wbs,
+                       fwd_vals=None, scales=None, trig=None):
+    """Generator form of _backward_tile (yields at op-group boundaries)."""
     s = spec
     dt = jnp.dtype(s.compute_dtype)
     if fwd_vals is None:
-        fwd_vals = _forward_tile(s, x_raw, wbs, scales, trig=trig)
+        fwd_vals = yield from _forward_tile_gen(s, x_raw, wbs, scales,
+                                                trig=trig)
     enc, trig, ins, outs, logit_in, _ = fwd_vals
     t = x_raw.shape[0]
     grads = [None] * (s.depth + 1)
@@ -356,6 +392,7 @@ def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None,
     acc(s.depth, _dot_acc(logit_in, g_out_c),
         jnp.sum(g_out, axis=0, keepdims=True))
     gh = _dot_t(g_out_c, wbs[s.depth][0]).astype(dt)
+    yield
 
     g_enc_acc = jnp.zeros((t, s.enc_pad), jnp.float32)
     if (s.depth - 1) in s.skips:
@@ -365,14 +402,31 @@ def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None,
         gh = jnp.where(outs[i].astype(jnp.float32) > 0, gh, 0).astype(dt)
         acc(i, _dot_acc(ins[i], gh),
             jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
+        yield
         gh = _dot_t(gh, wbs[i][0]).astype(dt)
+        yield
         if i > 0 and (i - 1) in s.skips:
             g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
             gh = gh[:, :s.w_pad]
     g_enc_acc += gh.astype(jnp.float32)
-    dx_raw = _encode_bwd(s, x_raw[:, :s.raw_ch], g_enc_acc, scales,
-                         trig=trig)
+    dx_raw = yield from _encode_bwd_gen(s, x_raw[:, :s.raw_ch], g_enc_acc,
+                                        scales, trig=trig)
     return dx_raw, grads
+
+
+def _backward_tile(spec: FusedFieldSpec, x_raw, g_out, wbs, fwd_vals=None,
+                   scales=None, trig=None):
+    """Recompute + backprop one tile (pure values, reusable by other kernels).
+
+    ``fwd_vals`` may carry a precomputed ``_forward_tile`` result to avoid a
+    duplicate recompute when the caller already ran the forward in this tile.
+    ``trig`` optionally injects shared band sin/cos into the recompute.
+
+    Returns (dx_raw (T, raw_ch) fp32, [(dW, db) fp32 per layer]).
+    """
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_backward_tile_gen(spec, x_raw, g_out, wbs, fwd_vals,
+                                    scales, trig))
 
 
 def _make_bwd_kernel(spec: FusedFieldSpec, n_layers: int):

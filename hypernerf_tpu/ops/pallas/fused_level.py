@@ -111,6 +111,18 @@ class FusedLevelSpec(NamedTuple):
     # When >0, rgb/alpha conditions are PER-RAY rows (P // cond_samples),
     # expanded in-kernel; see fused_mlp.FusedMLPSpec.cond_samples.
     cond_samples: int = 0
+    # Software-pipelined backward: ONE kernel whose grid step i runs the
+    # template backward of tile i INTERLEAVED (common.interleave) with the
+    # fields backward of tile i-1, stitched through a VMEM scratch carrying
+    # dx_t = d(warped|hyper). Mosaic overlaps the alternating independent
+    # instruction streams, hiding the lane-starved fields work (narrow
+    # 128/64-wide chains, retraction VPU math, encode VJP) under the fat
+    # 256-wide template matmuls. Both stages share ``bwd_tile``;
+    # tmpl_bwd_tile is unused. Takes precedence over split_bwd.
+    pipelined_bwd: bool = False
+    # Same pipelining for the forward: fields fwd of tile i interleaved
+    # with the template fwd of tile i-1, raw_t carried in VMEM scratch.
+    pipelined_fwd: bool = False
 
     @property
     def warp_fs(self):
@@ -298,21 +310,30 @@ def _from_cm(m):
     return m.T[:, :rows]
 
 
-def _warp_fwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
-                   warp_scales=None):
-    """(warped points, fwd stash) for one tile (translation, SE(3), or
-    quaternion)."""
+def _warp_fwd_tile_gen(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
+                       warp_scales=None):
+    """Generator form of _warp_fwd_tile (yields at op-group boundaries)."""
     s = spec
     if s.warp_type in ('se3', 'quaternion'):
-        vals = fs3._forward_tile(s.warp_fs, raw_f, warp_wbs,
-                                 scales=warp_scales)
+        vals = yield from fs3._forward_tile_gen(s.warp_fs, raw_f, warp_wbs,
+                                                scales=warp_scales)
         w_out, v_out = vals[-2], vals[-1]
         retract = _wv_retraction(s)
         warped_cm = retract(_to_cm(w_out), _to_cm(v_out), _to_cm(pts),
                             axis=0)
+        yield
         return _from_cm(warped_cm), vals
-    vals = ff._forward_tile(s.warp_fs, raw_f, warp_wbs)
+    vals = yield from ff._forward_tile_gen(s.warp_fs, raw_f, warp_wbs)
     return pts + vals[-1][:, :3], vals
+
+
+def _warp_fwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
+                   warp_scales=None):
+    """(warped points, fwd stash) for one tile (translation, SE(3), or
+    quaternion)."""
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_warp_fwd_tile_gen(spec, pts, raw_f, warp_wbs,
+                                    warp_scales))
 
 
 def _warp_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs,
@@ -344,16 +365,20 @@ def _hyper_trig_from_warp(spec: FusedLevelSpec, warp_vals):
     return [(sin_w[:, :3 * fh], cos_w[:, :3 * fh]), None]
 
 
-def _forward_values(spec: FusedLevelSpec, x_raw, rgbc, alphac, wbs,
-                    warp_scales=None, tmpl_scales=None):
-    """The fused chain on one tile; returns (rgb, alpha) raw fp32 heads."""
+def _fields_fwd_core_gen(spec: FusedLevelSpec, x_raw, warp_wbs, hyper_wbs,
+                         warp_scales=None):
+    """Fields half of the level forward on one tile, as a generator.
+
+    Returns raw_t = (T, 3 + hyper_out) [warped | hyper] fp32 — the template
+    stage's raw input.
+    """
     s = spec
-    warp_wbs, hyper_wbs, tmpl_wbs = _split_wbs(s, wbs)
     pts = x_raw[:, :3].astype(jnp.float32)
     raw_f = x_raw[:, :3 + s.embed_ch]
-    warped, warp_vals = _warp_fwd_tile(s, pts, raw_f, warp_wbs, warp_scales)
+    warped, warp_vals = yield from _warp_fwd_tile_gen(s, pts, raw_f,
+                                                      warp_wbs, warp_scales)
     if s.slice_method == 'bendy_sheet':
-        *_, hyper_out = ff._forward_tile(
+        *_, hyper_out = yield from ff._forward_tile_gen(
             s.hyper_fs, raw_f, hyper_wbs,
             trig=_hyper_trig_from_warp(s, warp_vals))
         hyper = hyper_out[:, :s.hyper_out]
@@ -361,7 +386,61 @@ def _forward_values(spec: FusedLevelSpec, x_raw, rgbc, alphac, wbs,
         # axis_aligned_plane: the hyper coords ARE the embed
         # (models.py:514-543 map_hyper_points).
         hyper = raw_f[:, 3:3 + s.embed_ch].astype(jnp.float32)
-    raw_t = jnp.concatenate([warped, hyper], axis=-1)
+    return jnp.concatenate([warped, hyper], axis=-1)
+
+
+def _fields_bwd_core_gen(spec: FusedLevelSpec, x_raw, dx_t, warp_wbs,
+                         hyper_wbs, warp_scales=None):
+    """Fields half of the level backward on one tile, as a generator.
+
+    dx_t: (T, >=3+hyper_out) cotangent of [warped | hyper] from the template
+    backward. Returns (d_pts, d_emb, grads) with grads = warp + hyper
+    (dW, db) pairs in kernel order. Linear in dx_t: a zero cotangent yields
+    exactly-zero gradients (the pipelined kernel's masked first step relies
+    on this).
+    """
+    s = spec
+    t = x_raw.shape[0]
+    pts = x_raw[:, :3].astype(jnp.float32)
+    raw_f = x_raw[:, :3 + s.embed_ch]
+    d_warped = dx_t[:, :3]
+    d_hyper = dx_t[:, 3:3 + s.hyper_out]
+
+    # Run the warp forward first so the hyper backward's recompute can
+    # slice its band trig (and the warp backward reuses the fwd_vals).
+    _, warp_vals = yield from _warp_fwd_tile_gen(s, pts, raw_f, warp_wbs,
+                                                 warp_scales)
+    if s.slice_method == 'bendy_sheet':
+        g_h = jnp.concatenate(
+            [d_hyper,
+             jnp.zeros((t, ff.OUT_PAD - s.hyper_out), jnp.float32)],
+            axis=-1)
+        d_rawf_h, h_grads = yield from ff._backward_tile_gen(
+            s.hyper_fs, raw_f, g_h, hyper_wbs,
+            trig=_hyper_trig_from_warp(s, warp_vals))
+    else:
+        d_rawf_h, h_grads = None, []
+    d_pts_w, d_emb_w, w_grads = yield from _warp_bwd_tile_gen(
+        s, pts, raw_f, warp_wbs, d_warped, warp_scales, fwd_vals=warp_vals)
+
+    if s.slice_method == 'bendy_sheet':
+        d_pts = d_pts_w + d_rawf_h[:, :3]
+        d_emb = d_emb_w + d_rawf_h[:, 3:]
+    else:
+        # Plane slicing: d_hyper IS the embed gradient.
+        d_pts = d_pts_w
+        d_emb = d_emb_w + d_hyper
+    return d_pts, d_emb, w_grads + h_grads
+
+
+def _forward_values(spec: FusedLevelSpec, x_raw, rgbc, alphac, wbs,
+                    warp_scales=None, tmpl_scales=None):
+    """The fused chain on one tile; returns (rgb, alpha) raw fp32 heads."""
+    from hypernerf_tpu.ops.pallas.common import drive
+    s = spec
+    warp_wbs, hyper_wbs, tmpl_wbs = _split_wbs(s, wbs)
+    raw_t = drive(_fields_fwd_core_gen(s, x_raw, warp_wbs, hyper_wbs,
+                                       warp_scales))
     rgb, alpha, _ = fm._forward_tile(s.tmpl_fs, raw_t, rgbc, alphac, tmpl_wbs,
                                      enc_scales=tmpl_scales)
     return rgb, alpha, raw_t
@@ -409,47 +488,61 @@ def _make_fwd_kernel(spec: FusedLevelSpec, has_ac: bool):
     return kernel
 
 
+def _warp_bwd_tile_gen(spec: FusedLevelSpec, pts, raw_f, warp_wbs, d_warped,
+                       warp_scales=None, fwd_vals=None):
+    """Generator form of _warp_bwd_tile (yields at op-group boundaries)."""
+    s = spec
+    t = pts.shape[0]
+    if s.warp_type in ('se3', 'quaternion'):
+        if fwd_vals is not None:
+            vals = fwd_vals
+        else:
+            vals = yield from fs3._forward_tile_gen(
+                s.warp_fs, raw_f, warp_wbs, scales=warp_scales)
+        # Component-major (3, T) retraction backward: full-lane VPU (see
+        # _to_cm); the (T, OUT_PAD) g_wv comes back via one transpose.
+        d_w3, d_v3, d_pts_cm = _wv_retraction_bwd(s)(
+            _to_cm(vals[-2]), _to_cm(vals[-1]), _to_cm(pts),
+            _to_cm(d_warped), axis=0)
+        yield
+        d_pts_direct = _from_cm(d_pts_cm)
+        g_wv = _from_cm(jnp.concatenate(
+            [d_w3, d_v3,
+             jnp.zeros((fs3.OUT_PAD - 6, t), jnp.float32)], axis=0))
+        d_rawf, w_grads = yield from fs3._backward_tile_gen(
+            s.warp_fs, raw_f, g_wv, warp_wbs, scales=warp_scales,
+            fwd_vals=vals)
+        if s.se3_use_metadata:
+            d_emb = d_rawf[:, 3:3 + s.embed_ch]
+        else:
+            d_emb = jnp.zeros((t, s.embed_ch), jnp.float32)
+        return d_pts_direct + d_rawf[:, :3], d_emb, w_grads
+    if fwd_vals is not None:
+        warp_vals = fwd_vals
+    else:
+        warp_vals = yield from ff._forward_tile_gen(s.warp_fs, raw_f,
+                                                    warp_wbs)
+    g_w = jnp.concatenate(
+        [d_warped, jnp.zeros((t, ff.OUT_PAD - 3), jnp.float32)], axis=-1)
+    d_rawf_w, w_grads = yield from ff._backward_tile_gen(
+        s.warp_fs, raw_f, g_w, warp_wbs, fwd_vals=warp_vals)
+    # Residual: d_pts gets d_warped directly.
+    return d_warped + d_rawf_w[:, :3], d_rawf_w[:, 3:], w_grads
+
+
 def _warp_bwd_tile(spec: FusedLevelSpec, pts, raw_f, warp_wbs, d_warped,
                    warp_scales=None, fwd_vals=None):
     """Backward through the warp for one tile.
 
     Returns (d_pts, d_emb, w_grads): gradients w.r.t. the input points and
     embedding plus the warp-net weight grads. For the translation residual,
-    d_pts includes the identity path; for SE(3) the screw exponential is
-    differentiated with jax.vjp over rigid_body.se3_warp_vec (pure jnp,
-    traceable inside the kernel). ``fwd_vals`` reuses a tile forward already
-    computed by the caller.
+    d_pts includes the identity path; for SE(3)/quaternion the retraction
+    uses the hand-derived component-major VJP. ``fwd_vals`` reuses a tile
+    forward already computed by the caller.
     """
-    s = spec
-    t = pts.shape[0]
-    if s.warp_type in ('se3', 'quaternion'):
-        vals = fwd_vals if fwd_vals is not None else fs3._forward_tile(
-            s.warp_fs, raw_f, warp_wbs, scales=warp_scales)
-        # Component-major (3, T) retraction backward: full-lane VPU (see
-        # _to_cm); the (T, OUT_PAD) g_wv comes back via one transpose.
-        d_w3, d_v3, d_pts_cm = _wv_retraction_bwd(s)(
-            _to_cm(vals[-2]), _to_cm(vals[-1]), _to_cm(pts),
-            _to_cm(d_warped), axis=0)
-        d_pts_direct = _from_cm(d_pts_cm)
-        g_wv = _from_cm(jnp.concatenate(
-            [d_w3, d_v3,
-             jnp.zeros((fs3.OUT_PAD - 6, t), jnp.float32)], axis=0))
-        d_rawf, w_grads = fs3._backward_tile(s.warp_fs, raw_f, g_wv,
-                                             warp_wbs, scales=warp_scales,
-                                             fwd_vals=vals)
-        if s.se3_use_metadata:
-            d_emb = d_rawf[:, 3:3 + s.embed_ch]
-        else:
-            d_emb = jnp.zeros((t, s.embed_ch), jnp.float32)
-        return d_pts_direct + d_rawf[:, :3], d_emb, w_grads
-    warp_vals = fwd_vals if fwd_vals is not None else ff._forward_tile(
-        s.warp_fs, raw_f, warp_wbs)
-    g_w = jnp.concatenate(
-        [d_warped, jnp.zeros((t, ff.OUT_PAD - 3), jnp.float32)], axis=-1)
-    d_rawf_w, w_grads = ff._backward_tile(s.warp_fs, raw_f, g_w, warp_wbs,
-                                          fwd_vals=warp_vals)
-    # Residual: d_pts gets d_warped directly.
-    return d_warped + d_rawf_w[:, :3], d_rawf_w[:, 3:], w_grads
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_warp_bwd_tile_gen(spec, pts, raw_f, warp_wbs, d_warped,
+                                    warp_scales, fwd_vals))
 
 
 def _make_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
@@ -644,41 +737,13 @@ def _make_fields_bwd_kernel(spec: FusedLevelSpec):
             for r in dwb_refs:
                 r[:] = jnp.zeros(r.shape, r.dtype)
 
+        from hypernerf_tpu.ops.pallas.common import drive
         x_raw, od_exp = _assemble_raw(s, x_ref, od_ref, emb_ref)
-        pts = x_raw[:, :3].astype(jnp.float32)
-        raw_f = x_raw[:, :3 + s.embed_ch]
         t = x_raw.shape[0]
         warp_wbs = wbs[:s.n_warp_layers]
         hyper_wbs = wbs[s.n_warp_layers:]
-
-        dx_t = dxt_ref[:]
-        d_warped = dx_t[:, :3]
-        d_hyper = dx_t[:, 3:3 + s.hyper_out]
-
-        # Run the warp forward first so the hyper backward's recompute can
-        # slice its band trig (and the warp backward reuses the fwd_vals).
-        _, warp_vals = _warp_fwd_tile(s, pts, raw_f, warp_wbs, warp_scales)
-        if s.slice_method == 'bendy_sheet':
-            g_h = jnp.concatenate(
-                [d_hyper,
-                 jnp.zeros((t, ff.OUT_PAD - s.hyper_out), jnp.float32)],
-                axis=-1)
-            d_rawf_h, h_grads = ff._backward_tile(
-                s.hyper_fs, raw_f, g_h, hyper_wbs,
-                trig=_hyper_trig_from_warp(s, warp_vals))
-        else:
-            d_rawf_h, h_grads = None, []
-        d_pts_w, d_emb_w, w_grads = _warp_bwd_tile(s, pts, raw_f, warp_wbs,
-                                                   d_warped, warp_scales,
-                                                   fwd_vals=warp_vals)
-
-        if s.slice_method == 'bendy_sheet':
-            d_pts = d_pts_w + d_rawf_h[:, :3]
-            d_emb = d_emb_w + d_rawf_h[:, 3:]
-        else:
-            # Plane slicing: d_hyper IS the embed gradient.
-            d_pts = d_pts_w
-            d_emb = d_emb_w + d_hyper
+        d_pts, d_emb, f_grads = drive(_fields_bwd_core_gen(
+            s, x_raw, dxt_ref[:], warp_wbs, hyper_wbs, warp_scales))
         if s.cond_samples:
             _write_ray_grads(s, x_ref, od_exp, d_pts, d_emb,
                              dx_ref, dod_ref, demb_ref)
@@ -688,7 +753,7 @@ def _make_fields_bwd_kernel(spec: FusedLevelSpec):
                  jnp.zeros((t, RAW_PAD - 3 - s.embed_ch), jnp.float32)],
                 axis=-1)
             dx_ref[:] = d_raw.astype(dx_ref.dtype)
-        for k, (dw, db) in enumerate(w_grads + h_grads):
+        for k, (dw, db) in enumerate(f_grads):
             dwb_refs[2 * k][:] += dw
             dwb_refs[2 * k + 1][:] += db
     return kernel
@@ -741,6 +806,429 @@ def _fields_bwd_call(spec: FusedLevelSpec, x_raw, od, emb, dx_t,
     return outs
 
 
+def _make_pipelined_fwd_kernel(spec: FusedLevelSpec, has_ac: bool):
+    """One-kernel forward, software-pipelined across the grid.
+
+    Grid step i interleaves the FIELDS forward of tile i with the TEMPLATE
+    forward of tile i-1; raw_t = [warped | hyper] rides a VMEM scratch
+    (read-before-write keeps one slot sufficient). Phantom steps: at i == 0
+    the template consumes a zeroed scratch and its output write is masked;
+    at i == n the fields stage recomputes tile n-1 bit-identically (same
+    block, same weights), so its rawt/scratch writes are harmless.
+    """
+    s = spec
+    nf = s.n_warp_layers + s.n_hyper_layers
+
+    def kernel(*refs):
+        from hypernerf_tpu.ops.pallas.common import interleave
+        x_ref = refs[0]
+        off = 1
+        od_ref = refs[off] if s.cond_samples else None
+        off += 1 if s.cond_samples else 0
+        emb_ref = refs[off] if s.cond_samples else None
+        off += 1 if s.cond_samples else 0
+        rgbc_ref = refs[off]; off += 1
+        alphac_ref = refs[off] if has_ac else None
+        off += 1 if has_ac else 0
+        warp_scales = refs[off][:] if s.warp_windowed else None
+        off += 1 if s.warp_windowed else 0
+        tmpl_scales = refs[off][:] if not s.use_original_embed else None
+        off += 0 if s.use_original_embed else 1
+        wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
+               for k in range(s.n_layers)]
+        warp_wbs = wbs[:s.n_warp_layers]
+        hyper_wbs = wbs[s.n_warp_layers:nf]
+        tmpl_wbs = wbs[nf:]
+        o = off + 2 * s.n_layers
+        out_ref = refs[o]
+        rawt_ref = refs[o + 1]
+        rawt_scr = refs[o + 2]
+
+        i = pl.program_id(0)
+        n = pl.num_programs(0) - 1
+
+        @pl.when(i == 0)
+        def _():
+            rawt_scr[:] = jnp.zeros(rawt_scr.shape, rawt_scr.dtype)
+
+        # Previous step's fields output (zeros at i == 0; write masked).
+        raw_t_prev = rawt_scr[:]
+        t = raw_t_prev.shape[0]
+
+        # Fields stage inputs (tile i).
+        x_raw, _ = _assemble_raw(s, x_ref, od_ref, emb_ref)
+        # Template stage conditions (tile i-1).
+        if s.cond_samples:
+            rgbc = fm._expand_rays(rgbc_ref[0], t)
+            alphac = fm._expand_rays(alphac_ref[0], t) if has_ac else None
+        else:
+            rgbc = rgbc_ref[:]
+            alphac = alphac_ref[:] if has_ac else None
+
+        fields_res, tmpl_res = interleave(
+            _fields_fwd_core_gen(s, x_raw, warp_wbs, hyper_wbs,
+                                 warp_scales),
+            fm._forward_tile_gen(s.tmpl_fs, raw_t_prev, rgbc, alphac,
+                                 tmpl_wbs, enc_scales=tmpl_scales))
+        raw_t_new = fields_res
+        rgb, alpha, _ = tmpl_res
+
+        rawt_pad = jnp.concatenate(
+            [raw_t_new,
+             jnp.zeros((t, s.tmpl_raw_pad - raw_t_new.shape[1]),
+                       jnp.float32)], axis=-1)
+        rawt_scr[:] = rawt_pad
+        rawt_ref[:] = rawt_pad
+
+        @pl.when(i > 0)
+        def _():
+            out_ref[:] = jnp.concatenate(
+                [rgb[:, :s.rgb_channels], alpha[:, :s.alpha_channels],
+                 jnp.zeros((t, OUT_PAD - s.rgb_channels - s.alpha_channels),
+                           jnp.float32)], axis=-1)
+    return kernel
+
+
+def _fwd_call_pipelined(spec, x_raw, od, emb, rgbc, alphac, warp_scales,
+                        tmpl_scales, padded_flat):
+    """Launch the pipelined forward; returns (out, raw_t) like _fused."""
+    s = spec
+    p = x_raw.shape[0]
+    n_tiles = p // s.tile
+    has_ac = alphac is not None
+    padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
+                  for k in range(len(padded_flat) // 2)]
+
+    def im_a2(i):
+        return (jnp.minimum(i, n_tiles - 1), 0)
+
+    def im_b2(i):
+        return (jnp.maximum(i - 1, 0), 0)
+
+    def im_a3(i):
+        return (jnp.minimum(i, n_tiles - 1), 0, 0)
+
+    def im_b3(i):
+        return (jnp.maximum(i - 1, 0), 0, 0)
+
+    def full_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    rows = fm.cond_tile_rows(s) if s.cond_samples else 0
+
+    def cond3(a, im):
+        return (fm.cond_to_tiles(a, n_tiles),
+                pl.BlockSpec((1, rows, a.shape[1]), im,
+                             memory_space=pltpu.VMEM))
+
+    data_in, in_specs = [x_raw], [
+        pl.BlockSpec((s.tile, x_raw.shape[1]), im_a2,
+                     memory_space=pltpu.VMEM)]
+    if s.cond_samples:
+        for a in (od, emb):
+            t_a, t_spec = cond3(a, im_a3)
+            data_in.append(t_a)
+            in_specs.append(t_spec)
+        rgbc_t, rgbc_spec = cond3(rgbc, im_b3)
+        data_in.append(rgbc_t)
+        in_specs.append(rgbc_spec)
+        if has_ac:
+            alphac_t, alphac_spec = cond3(alphac, im_b3)
+            data_in.append(alphac_t)
+            in_specs.append(alphac_spec)
+    else:
+        data_in.append(rgbc)
+        in_specs.append(pl.BlockSpec((s.tile, rgbc.shape[1]), im_b2,
+                                     memory_space=pltpu.VMEM))
+        if has_ac:
+            data_in.append(alphac)
+            in_specs.append(pl.BlockSpec((s.tile, alphac.shape[1]), im_b2,
+                                         memory_space=pltpu.VMEM))
+    if s.warp_windowed:
+        data_in.append(warp_scales)
+        in_specs.append(full_spec(warp_scales))
+    if not s.use_original_embed:
+        data_in.append(tmpl_scales)
+        in_specs.append(full_spec(tmpl_scales))
+    for w, b in padded_wbs:
+        data_in += [w, b]
+        in_specs += [full_spec(w), full_spec(b)]
+
+    out_shapes = [jax.ShapeDtypeStruct((p, OUT_PAD), jnp.float32),
+                  jax.ShapeDtypeStruct((p, s.tmpl_raw_pad), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((s.tile, OUT_PAD), im_b2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((s.tile, s.tmpl_raw_pad), im_a2,
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        _make_pipelined_fwd_kernel(s, has_ac),
+        grid=(n_tiles + 1,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((s.tile, s.tmpl_raw_pad), jnp.float32)],
+        interpret=s.interpret,
+        compiler_params=vmem_params(s.interpret),
+    )(*data_in)
+
+
+def _make_pipelined_bwd_kernel(spec: FusedLevelSpec, has_ac: bool):
+    """One-kernel backward, software-pipelined across the grid.
+
+    Grid step i interleaves (common.interleave) the TEMPLATE backward of
+    tile i with the FIELDS backward of tile i-1; dx_t = d(warped|hyper)
+    rides a VMEM scratch between steps (read-before-write keeps one slot
+    sufficient). The grid has one extra phantom step: at i == 0 the fields
+    stage consumes a zeroed scratch (its dW contributions are exact zeros
+    by linearity in dx_t) and at i == n the template stage runs with a
+    zeroed g (same argument); both phantom stages' per-tile writes are
+    masked. Every stream's internal op order matches the split kernels, so
+    the numerics are identical up to fp32 +0.0 accumulator no-ops.
+    """
+    s = spec
+    nf = s.n_warp_layers + s.n_hyper_layers
+    nt = s.n_tmpl_layers
+
+    def kernel(*refs):
+        from hypernerf_tpu.ops.pallas.common import interleave
+        x_ref = refs[0]
+        off = 1
+        od_ref = refs[off] if s.cond_samples else None
+        off += 1 if s.cond_samples else 0
+        emb_ref = refs[off] if s.cond_samples else None
+        off += 1 if s.cond_samples else 0
+        rawt_ref = refs[off]; off += 1
+        rgbc_ref = refs[off]; off += 1
+        alphac_ref = refs[off] if has_ac else None
+        off += 1 if has_ac else 0
+        warp_scales = refs[off][:] if s.warp_windowed else None
+        off += 1 if s.warp_windowed else 0
+        tmpl_scales = refs[off][:] if not s.use_original_embed else None
+        off += 0 if s.use_original_embed else 1
+        g_ref = refs[off]; off += 1
+        wbs = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
+               for k in range(nf + nt)]
+        warp_wbs = wbs[:s.n_warp_layers]
+        hyper_wbs = wbs[s.n_warp_layers:nf]
+        tmpl_wbs = wbs[nf:]
+        o = off + 2 * (nf + nt)
+        dx_ref = refs[o]; o += 1
+        dod_ref = refs[o] if s.cond_samples else None
+        o += 1 if s.cond_samples else 0
+        demb_ref = refs[o] if s.cond_samples else None
+        o += 1 if s.cond_samples else 0
+        drgbc_ref = refs[o]; o += 1
+        dalphac_ref = refs[o] if has_ac else None
+        o += 1 if has_ac else 0
+        dwb_refs = refs[o:o + 2 * (nf + nt)]
+        dxt_scr = refs[o + 2 * (nf + nt)]
+
+        i = pl.program_id(0)
+        n = pl.num_programs(0) - 1
+
+        @pl.when(i == 0)
+        def _():
+            for r in dwb_refs:
+                r[:] = jnp.zeros(r.shape, r.dtype)
+            dxt_scr[:] = jnp.zeros(dxt_scr.shape, dxt_scr.dtype)
+
+        # Previous step's template cotangent (zeros at i == 0).
+        dx_t_prev = dxt_scr[:]
+
+        # Template stage inputs (tile i; the phantom last step gets g == 0).
+        last = i == n
+        g_all = jnp.where(last, 0.0, g_ref[:])
+        raw_t = rawt_ref[:]
+        t = raw_t.shape[0]
+        if s.cond_samples:
+            rgbc = fm._expand_rays(rgbc_ref[0], t)
+            alphac = fm._expand_rays(alphac_ref[0], t) if has_ac else None
+        else:
+            rgbc = rgbc_ref[:]
+            alphac = alphac_ref[:] if has_ac else None
+
+        # Fields stage inputs (tile i-1).
+        x_raw, od_exp = _assemble_raw(s, x_ref, od_ref, emb_ref)
+
+        tmpl_res, fields_res = interleave(
+            fm._backward_tile_gen(s.tmpl_fs, raw_t, rgbc, alphac, g_all,
+                                  tmpl_wbs, enc_scales=tmpl_scales),
+            _fields_bwd_core_gen(s, x_raw, dx_t_prev, warp_wbs, hyper_wbs,
+                                 warp_scales))
+        dxt_new, drgbc, dalphac_g, t_grads = tmpl_res
+        d_pts, d_emb, f_grads = fields_res
+
+        # Carry dx_t to the next grid step.
+        dxt_scr[:] = jnp.concatenate(
+            [dxt_new,
+             jnp.zeros((t, s.tmpl_raw_pad - dxt_new.shape[1]), jnp.float32)],
+            axis=-1)
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            if s.cond_samples:
+                drgbc_ref[0] = fm._reduce_rays(
+                    drgbc, drgbc_ref.shape[1]).astype(drgbc_ref.dtype)
+                if has_ac:
+                    dalphac_ref[0] = fm._reduce_rays(
+                        dalphac_g,
+                        dalphac_ref.shape[1]).astype(dalphac_ref.dtype)
+            else:
+                drgbc_ref[:] = drgbc.astype(drgbc_ref.dtype)
+                if has_ac:
+                    dalphac_ref[:] = dalphac_g.astype(dalphac_ref.dtype)
+
+        @pl.when(i > 0)
+        def _():
+            if s.cond_samples:
+                _write_ray_grads(s, x_ref, od_exp, d_pts, d_emb,
+                                 dx_ref, dod_ref, demb_ref)
+            else:
+                d_raw = jnp.concatenate(
+                    [d_pts, d_emb,
+                     jnp.zeros((t, RAW_PAD - 3 - s.embed_ch), jnp.float32)],
+                    axis=-1)
+                dx_ref[:] = d_raw.astype(dx_ref.dtype)
+
+        for k, (dw, db) in enumerate(f_grads + t_grads):
+            dwb_refs[2 * k][:] += dw
+            dwb_refs[2 * k + 1][:] += db
+    return kernel
+
+
+def _fused_bwd_pipelined(spec, x_raw, od, emb, rgbc, alphac, warp_scales,
+                         tmpl_scales, padded_flat, raw_t, g):
+    """Launch the pipelined one-kernel backward (see
+    _make_pipelined_bwd_kernel). Returns the same tuple as
+    _fused_bwd_split."""
+    s = spec._replace(tile=spec.bwd_tile or spec.tile)
+    p = x_raw.shape[0]
+    n_tiles = p // s.tile
+    has_ac = alphac is not None
+    padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
+                  for k in range(len(padded_flat) // 2)]
+
+    def im_f2(i):
+        return (jnp.maximum(i - 1, 0), 0)
+
+    def im_t2(i):
+        return (jnp.minimum(i, n_tiles - 1), 0)
+
+    def im_f3(i):
+        return (jnp.maximum(i - 1, 0), 0, 0)
+
+    def im_t3(i):
+        return (jnp.minimum(i, n_tiles - 1), 0, 0)
+
+    def full_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    rows = fm.cond_tile_rows(s) if s.cond_samples else 0
+
+    def cond3(a, im):
+        return (fm.cond_to_tiles(a, n_tiles),
+                pl.BlockSpec((1, rows, a.shape[1]), im,
+                             memory_space=pltpu.VMEM))
+
+    data_in, in_specs = [x_raw], [
+        pl.BlockSpec((s.tile, x_raw.shape[1]), im_f2,
+                     memory_space=pltpu.VMEM)]
+    if s.cond_samples:
+        for a in (od, emb):
+            t_a, t_spec = cond3(a, im_f3)
+            data_in.append(t_a)
+            in_specs.append(t_spec)
+    data_in.append(raw_t)
+    in_specs.append(pl.BlockSpec((s.tile, s.tmpl_raw_pad), im_t2,
+                                 memory_space=pltpu.VMEM))
+    if s.cond_samples:
+        rgbc_t, rgbc_spec = cond3(rgbc, im_t3)
+        data_in.append(rgbc_t)
+        in_specs.append(rgbc_spec)
+        if has_ac:
+            alphac_t, alphac_spec = cond3(alphac, im_t3)
+            data_in.append(alphac_t)
+            in_specs.append(alphac_spec)
+    else:
+        rgbc_t = rgbc
+        rgbc_spec = pl.BlockSpec((s.tile, rgbc.shape[1]), im_t2,
+                                 memory_space=pltpu.VMEM)
+        data_in.append(rgbc)
+        in_specs.append(rgbc_spec)
+        if has_ac:
+            alphac_t = alphac
+            alphac_spec = pl.BlockSpec((s.tile, alphac.shape[1]), im_t2,
+                                       memory_space=pltpu.VMEM)
+            data_in.append(alphac)
+            in_specs.append(alphac_spec)
+    if s.warp_windowed:
+        data_in.append(warp_scales)
+        in_specs.append(full_spec(warp_scales))
+    if not s.use_original_embed:
+        data_in.append(tmpl_scales)
+        in_specs.append(full_spec(tmpl_scales))
+    data_in.append(g)
+    in_specs.append(pl.BlockSpec((s.tile, OUT_PAD), im_t2,
+                                 memory_space=pltpu.VMEM))
+    for w, b in padded_wbs:
+        data_in += [w, b]
+        in_specs += [full_spec(w), full_spec(b)]
+
+    out_shapes = [jax.ShapeDtypeStruct((p, x_raw.shape[1]), jnp.float32)]
+    out_specs = [pl.BlockSpec((s.tile, x_raw.shape[1]), im_f2,
+                              memory_space=pltpu.VMEM)]
+    if s.cond_samples:
+        for a in (od, emb):
+            t_a, t_spec = cond3(a, im_f3)
+            out_shapes.append(jax.ShapeDtypeStruct(t_a.shape, jnp.float32))
+            out_specs.append(t_spec)
+        out_shapes.append(jax.ShapeDtypeStruct(rgbc_t.shape, jnp.float32))
+        out_specs.append(cond3(rgbc, im_t3)[1])
+        if has_ac:
+            out_shapes.append(jax.ShapeDtypeStruct(alphac_t.shape,
+                                                   jnp.float32))
+            out_specs.append(cond3(alphac, im_t3)[1])
+    else:
+        out_shapes.append(jax.ShapeDtypeStruct(rgbc.shape, jnp.float32))
+        out_specs.append(rgbc_spec)
+        if has_ac:
+            out_shapes.append(jax.ShapeDtypeStruct(alphac.shape,
+                                                   jnp.float32))
+            out_specs.append(alphac_spec)
+    for w, b in padded_wbs:
+        out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(b.shape, jnp.float32)]
+        out_specs += [full_spec(w), full_spec(b)]
+
+    outs = pl.pallas_call(
+        _make_pipelined_bwd_kernel(s, has_ac),
+        grid=(n_tiles + 1,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((s.tile, s.tmpl_raw_pad), jnp.float32)],
+        interpret=s.interpret,
+        compiler_params=vmem_params(s.interpret),
+    )(*data_in)
+    dx = outs[0].astype(x_raw.dtype)
+    o = 1
+    if s.cond_samples:
+        dod = outs[o].reshape(od.shape).astype(od.dtype); o += 1
+        demb = outs[o].reshape(emb.shape).astype(emb.dtype); o += 1
+    else:
+        dod, demb = None, None
+    drgbc = outs[o].reshape(rgbc.shape).astype(rgbc.dtype); o += 1
+    dalphac = (outs[o].reshape(alphac.shape).astype(alphac.dtype)
+               if has_ac else None)
+    o += 1 if has_ac else 0
+    dflat = tuple(outs[o + k].astype(padded_flat[k].dtype)
+                  for k in range(len(padded_flat)))
+    return dx, dod, demb, drgbc, dalphac, dflat
+
+
 def _tmpl_scales_specs(spec, tmpl_scales):
     if spec.use_original_embed:
         return [], []
@@ -761,6 +1249,9 @@ def _warp_scales_specs(spec, warp_scales):
 def _fused(spec, x_raw, od, emb, rgbc, alphac, warp_scales, tmpl_scales,
            padded_flat):
     s = spec
+    if s.pipelined_fwd:
+        return _fwd_call_pipelined(s, x_raw, od, emb, rgbc, alphac,
+                                   warp_scales, tmpl_scales, padded_flat)
     p = x_raw.shape[0]
     n_tiles = p // s.tile
     has_ac = alphac is not None
@@ -809,6 +1300,11 @@ def _fused_bwd(spec, res, g):
                 else jnp.zeros_like(tmpl_scales))
     d_wscales = (None if warp_scales is None
                  else jnp.zeros_like(warp_scales))
+    if spec.pipelined_bwd:
+        dx, dod, demb, drgbc, dalphac, dflat = _fused_bwd_pipelined(
+            spec, x_raw, od, emb, rgbc, alphac, warp_scales, tmpl_scales,
+            padded_flat, raw_t, g)
+        return (dx, dod, demb, drgbc, dalphac, d_wscales, d_scales, dflat)
     if spec.split_bwd:
         dx, dod, demb, drgbc, dalphac, dflat = _fused_bwd_split(
             spec, x_raw, od, emb, rgbc, alphac, warp_scales, tmpl_scales,
@@ -962,8 +1458,9 @@ def fused_level(spec: FusedLevelSpec, points, embed, rgb_cond, alpha_cond,
         assert z_vals.shape == (r, s.cond_samples), z_vals.shape
     else:
         p = points.shape[0]
-    granularity = _math.lcm(s.tile, s.bwd_tile or s.tile,
-                            s.tmpl_bwd_tile if s.split_bwd else 1)
+    granularity = _math.lcm(
+        s.tile, s.bwd_tile or s.tile,
+        s.tmpl_bwd_tile if (s.split_bwd and not s.pipelined_bwd) else 1)
     if s.cond_samples:
         assert granularity % s.cond_samples == 0, \
             'tiles must hold whole rays when cond_samples is set'

@@ -297,6 +297,68 @@ def cond_spec3(rows: int, width: int):
                         memory_space=pltpu.VMEM)
 
 
+def _forward_tile_gen(spec: FusedMLPSpec, x, rgbc, alphac, wbs,
+                      enc_scales=None):
+    """Generator form of _forward_tile: yields at op-group boundaries so
+    pipelined kernels can interleave this stream with an independent tile
+    (common.interleave)."""
+    s = spec
+    bf = jnp.dtype(s.compute_dtype)
+    idx = 0
+    stash = {'trunk_ins': [], 'trunk_outs': [], 'rgb_ins': [], 'rgb_outs': []}
+
+    if s.enc_segments:
+        from hypernerf_tpu.ops.pallas.fused_field import FusedFieldSpec as _FS
+        from hypernerf_tpu.ops.pallas.fused_field import _encode_gen
+        fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
+        assert fs.enc_ch == s.in_ch, (fs.enc_ch, s.in_ch)
+        x, stash['x_trig'] = yield from _encode_gen(fs, x, enc_scales,
+                                                    return_trig=True)
+        # _encode pads to fs.enc_pad == rup(in_ch, 128) == s.in_pad.
+        stash['x_enc'] = x
+        yield
+    h = x
+    for i in range(s.trunk_depth):
+        w, b = wbs[idx]; idx += 1
+        stash['trunk_ins'].append(h)
+        h = _dot_act(h, w, b, bf)
+        yield
+        stash['trunk_outs'].append(h)
+        if i in s.skips:
+            h = jnp.concatenate([h, x], axis=-1)
+    w, b = wbs[idx]; idx += 1
+    stash['tl_in'] = h
+    hl = _dot_act(h, w, b, bf)
+    yield
+    stash['hl'] = hl
+    w, b = wbs[idx]; idx += 1
+    bneck = _dot_act(hl, w, b, bf, relu=False)
+    yield
+    stash['bneck'] = bneck
+
+    a_in = bneck if alphac is None else jnp.concatenate([bneck, alphac], -1)
+    stash['a_in'] = a_in
+    w, b = wbs[idx]; idx += 1
+    alpha = _dot(a_in, w) + b.astype(jnp.float32)  # (T, HEAD_PAD) fp32
+    yield
+
+    r_in = jnp.concatenate([bneck, rgbc], axis=-1)
+    stash['r_in'] = r_in
+    g = r_in
+    for j in range(s.rgb_depth):
+        w, b = wbs[idx]; idx += 1
+        stash['rgb_ins'].append(g)
+        g = _dot_act(g, w, b, bf)
+        yield
+        stash['rgb_outs'].append(g)
+        if j in s.skips:
+            g = jnp.concatenate([g, r_in], axis=-1)
+    w, b = wbs[idx]; idx += 1
+    stash['rl_in'] = g
+    rgb = _dot(g, w) + b.astype(jnp.float32)  # (T, HEAD_PAD) fp32
+    return rgb, alpha, stash
+
+
 def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs,
                   enc_scales=None):
     """Shared forward over one tile; returns (rgb, alpha, stash).
@@ -306,54 +368,8 @@ def _forward_tile(spec: FusedMLPSpec, x, rgbc, alphac, wbs,
     encoding. stash holds per-layer (input, post-relu output) for the
     backward.
     """
-    s = spec
-    bf = jnp.dtype(s.compute_dtype)
-    idx = 0
-    stash = {'trunk_ins': [], 'trunk_outs': [], 'rgb_ins': [], 'rgb_outs': []}
-
-    if s.enc_segments:
-        from hypernerf_tpu.ops.pallas.fused_field import FusedFieldSpec as _FS
-        from hypernerf_tpu.ops.pallas.fused_field import _encode
-        fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
-        assert fs.enc_ch == s.in_ch, (fs.enc_ch, s.in_ch)
-        x, stash['x_trig'] = _encode(fs, x, enc_scales, return_trig=True)
-        # _encode pads to fs.enc_pad == rup(in_ch, 128) == s.in_pad.
-        stash['x_enc'] = x
-    h = x
-    for i in range(s.trunk_depth):
-        w, b = wbs[idx]; idx += 1
-        stash['trunk_ins'].append(h)
-        h = _dot_act(h, w, b, bf)
-        stash['trunk_outs'].append(h)
-        if i in s.skips:
-            h = jnp.concatenate([h, x], axis=-1)
-    w, b = wbs[idx]; idx += 1
-    stash['tl_in'] = h
-    hl = _dot_act(h, w, b, bf)
-    stash['hl'] = hl
-    w, b = wbs[idx]; idx += 1
-    bneck = _dot_act(hl, w, b, bf, relu=False)
-    stash['bneck'] = bneck
-
-    a_in = bneck if alphac is None else jnp.concatenate([bneck, alphac], -1)
-    stash['a_in'] = a_in
-    w, b = wbs[idx]; idx += 1
-    alpha = _dot(a_in, w) + b.astype(jnp.float32)  # (T, HEAD_PAD) fp32
-
-    r_in = jnp.concatenate([bneck, rgbc], axis=-1)
-    stash['r_in'] = r_in
-    g = r_in
-    for j in range(s.rgb_depth):
-        w, b = wbs[idx]; idx += 1
-        stash['rgb_ins'].append(g)
-        g = _dot_act(g, w, b, bf)
-        stash['rgb_outs'].append(g)
-        if j in s.skips:
-            g = jnp.concatenate([g, r_in], axis=-1)
-    w, b = wbs[idx]; idx += 1
-    stash['rl_in'] = g
-    rgb = _dot(g, w) + b.astype(jnp.float32)  # (T, HEAD_PAD) fp32
-    return rgb, alpha, stash
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_forward_tile_gen(spec, x, rgbc, alphac, wbs, enc_scales))
 
 
 def _make_fwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
@@ -387,21 +403,14 @@ def _make_fwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):
     return kernel
 
 
-def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs,
-                   enc_scales=None):
-    """Recompute + backprop one tile (pure values, reusable by fused_level).
-
-    Args:
-      x: (T, in_pad|raw) input as given to the forward; rgbc/alphac padded
-        condition tiles; g_all: (T, 8) packed [g_rgb | g_alpha | 0] fp32.
-
-    Returns (dx, drgbc, dalphac, grads) where dx is (T, raw_ch) when
-    enc_segments is set else (T, in_pad), and grads is [(dW, db)] fp32.
-    """
+def _backward_tile_gen(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs,
+                       enc_scales=None):
+    """Generator form of _backward_tile (yields at op-group boundaries)."""
     s = spec
     bf = jnp.dtype(s.compute_dtype)
     n_layers = len(wbs)
-    _, _, st = _forward_tile(s, x, rgbc, alphac, wbs, enc_scales=enc_scales)
+    _, _, st = yield from _forward_tile_gen(s, x, rgbc, alphac, wbs,
+                                            enc_scales=enc_scales)
     t = g_all.shape[0]
     grads = [None] * n_layers
 
@@ -421,6 +430,7 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs,
     acc(k, _dot_acc(st['rl_in'], g_rgb_b),
         jnp.sum(g_rgb, axis=0, keepdims=True))
     gg = _dot_t(g_rgb_b, wbs[k][0]).astype(bf)
+    yield
 
     rin_w = s.bw + s.rc
     g_rin_acc = jnp.zeros((t, rin_w), jnp.float32)
@@ -434,7 +444,9 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs,
                        gg, 0).astype(bf)
         acc(k, _dot_acc(st['rgb_ins'][j], gg),
             jnp.sum(gg.astype(jnp.float32), axis=0, keepdims=True))
+        yield
         gg = _dot_t(gg, wbs[k][0]).astype(bf)
+        yield
         if j > 0 and (j - 1) in s.skips:
             g_rin_acc += gg[:, s.rw:].astype(jnp.float32)
             gg = gg[:, :s.rw]
@@ -451,6 +463,7 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs,
     ga = _dot_t(g_alpha_b, wbs[k_alpha][0]).astype(jnp.float32)
     g_b = g_b + ga[:, :s.bw]
     dalphac = ga[:, s.bw:] if alphac is not None else None
+    yield
 
     # --- bottleneck ---
     k_bn = s.trunk_depth + 1
@@ -458,13 +471,16 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs,
     acc(k_bn, _dot_acc(st['hl'], g_b_bf),
         jnp.sum(g_b, axis=0, keepdims=True))
     g_hl = _dot_t(g_b_bf, wbs[k_bn][0]).astype(jnp.float32)
+    yield
 
     # --- trunk logit (relu) ---
     k_tl = s.trunk_depth
     g_hl = jnp.where(st['hl'].astype(jnp.float32) > 0, g_hl, 0).astype(bf)
     acc(k_tl, _dot_acc(st['tl_in'], g_hl),
         jnp.sum(g_hl.astype(jnp.float32), axis=0, keepdims=True))
+    yield
     gh = _dot_t(g_hl, wbs[k_tl][0]).astype(bf)
+    yield
 
     g_x_acc = jnp.zeros((t, s.in_pad), jnp.float32)
     if (s.trunk_depth - 1) in s.skips:
@@ -476,24 +492,42 @@ def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs,
                        gh, 0).astype(bf)
         acc(i, _dot_acc(st['trunk_ins'][i], gh),
             jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
+        yield
         gh = _dot_t(gh, wbs[i][0]).astype(bf)
+        yield
         if i > 0 and (i - 1) in s.skips:
             g_x_acc += gh[:, s.tw:].astype(jnp.float32)
             gh = gh[:, :s.tw]
     g_x_acc += gh.astype(jnp.float32)
     if s.enc_segments:
         from hypernerf_tpu.ops.pallas.fused_field import (
-            FusedFieldSpec as _FS, _encode_bwd)
+            FusedFieldSpec as _FS, _encode_bwd_gen)
         from hypernerf_tpu.ops.pallas.fused_field import norm_seg as _ns
         fs = _FS(segments=s.enc_segments, compute_dtype=s.compute_dtype)
         raw_ch = sum(_ns(seg)[0] for seg in s.enc_segments)
         # Reuse the recompute's fp32 band sin/cos — bit-identical VJP
         # without a second transcendental pass.
-        dx = _encode_bwd(fs, x[:, :raw_ch], g_x_acc, enc_scales,
-                         trig=st['x_trig'])
+        dx = yield from _encode_bwd_gen(fs, x[:, :raw_ch], g_x_acc,
+                                        enc_scales, trig=st['x_trig'])
     else:
         dx = g_x_acc
     return dx, drgbc, dalphac, grads
+
+
+def _backward_tile(spec: FusedMLPSpec, x, rgbc, alphac, g_all, wbs,
+                   enc_scales=None):
+    """Recompute + backprop one tile (pure values, reusable by fused_level).
+
+    Args:
+      x: (T, in_pad|raw) input as given to the forward; rgbc/alphac padded
+        condition tiles; g_all: (T, 8) packed [g_rgb | g_alpha | 0] fp32.
+
+    Returns (dx, drgbc, dalphac, grads) where dx is (T, raw_ch) when
+    enc_segments is set else (T, in_pad), and grads is [(dW, db)] fp32.
+    """
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_backward_tile_gen(spec, x, rgbc, alphac, g_all, wbs,
+                                    enc_scales))
 
 
 def _make_bwd_kernel(spec: FusedMLPSpec, n_layers: int, has_ac: bool):

@@ -85,20 +85,15 @@ class FusedSE3Spec(NamedTuple):
         return segs
 
 
-def _encode(spec: FusedSE3Spec, x_raw, scales=None, return_trig=False):
-    """Nerfies posenc (no identity) over the point segment [+ raw embed].
-
-    ``scales``: optional (1, enc_pad) fp32 window row (warp_alpha annealing).
-    ``return_trig`` additionally returns the fp32 (sin_xb, cos_xb) pair so
-    the backward can reuse it (bit-identical, half the transcendentals).
-    """
+def _encode_gen(spec: FusedSE3Spec, x_raw, scales=None, return_trig=False):
+    """Generator form of _encode (yields inside the band trig)."""
     s = spec
     dt = jnp.dtype(s.compute_dtype)
     pts = x_raw[:, :3].astype(jnp.float32)
     if s.min_deg:
         pts = pts * (2.0 ** s.min_deg)
-    from hypernerf_tpu.ops.pallas.fused_field import _band_trig
-    sin_xb, cos_xb = _band_trig(pts, 3, s.n_freq)
+    from hypernerf_tpu.ops.pallas.fused_field import _band_trig_gen
+    sin_xb, cos_xb = yield from _band_trig_gen(pts, 3, s.n_freq)
     parts = [sin_xb.astype(dt), cos_xb.astype(dt)]
     if s.use_metadata:
         parts.append(x_raw[:, 3:3 + s.embed_ch].astype(dt))
@@ -114,12 +109,20 @@ def _encode(spec: FusedSE3Spec, x_raw, scales=None, return_trig=False):
     return enc
 
 
-def _encode_bwd(spec: FusedSE3Spec, x_raw, g_enc, scales=None, trig=None):
-    """VJP of _encode: -> (T, raw_ch) fp32.
+def _encode(spec: FusedSE3Spec, x_raw, scales=None, return_trig=False):
+    """Nerfies posenc (no identity) over the point segment [+ raw embed].
 
-    ``trig``: optional fp32 (sin_xb, cos_xb) from the forward recompute —
-    skips the band matmul and sin/cos with bit-identical results.
+    ``scales``: optional (1, enc_pad) fp32 window row (warp_alpha annealing).
+    ``return_trig`` additionally returns the fp32 (sin_xb, cos_xb) pair so
+    the backward can reuse it (bit-identical, half the transcendentals).
     """
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_encode_gen(spec, x_raw, scales, return_trig))
+
+
+def _encode_bwd_gen(spec: FusedSE3Spec, x_raw, g_enc, scales=None,
+                    trig=None):
+    """Generator form of _encode_bwd."""
     s = spec
     if scales is not None:
         g_enc = g_enc.astype(jnp.float32) * scales.astype(jnp.float32)
@@ -129,12 +132,13 @@ def _encode_bwd(spec: FusedSE3Spec, x_raw, g_enc, scales=None, trig=None):
     if trig is not None:
         sin_xb, cos_xb = trig
     else:
-        from hypernerf_tpu.ops.pallas.fused_field import _band_trig
+        from hypernerf_tpu.ops.pallas.fused_field import _band_trig_gen
         pts = x_raw[:, :3].astype(jnp.float32)
-        sin_xb, cos_xb = _band_trig(pts * scale, 3, s.n_freq)
+        sin_xb, cos_xb = yield from _band_trig_gen(pts * scale, 3, s.n_freq)
     g_sin = g_enc[:, :fc].astype(jnp.float32)
     g_cos = g_enc[:, fc:2 * fc].astype(jnp.float32)
     flat = cos_xb * g_sin - sin_xb * g_cos
+    yield
     d_pts = jax.lax.dot_general(flat, band, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
     parts = [d_pts]
@@ -142,6 +146,16 @@ def _encode_bwd(spec: FusedSE3Spec, x_raw, g_enc, scales=None, trig=None):
         parts.append(g_enc[:, 2 * fc:2 * fc + s.embed_ch]
                      .astype(jnp.float32))
     return jnp.concatenate(parts, axis=-1)
+
+
+def _encode_bwd(spec: FusedSE3Spec, x_raw, g_enc, scales=None, trig=None):
+    """VJP of _encode: -> (T, raw_ch) fp32.
+
+    ``trig``: optional fp32 (sin_xb, cos_xb) from the forward recompute —
+    skips the band matmul and sin/cos with bit-identical results.
+    """
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_encode_bwd_gen(spec, x_raw, g_enc, scales, trig))
 
 
 def _layer_row_segs(spec: FusedSE3Spec):
@@ -180,10 +194,12 @@ def _pad_params(spec: FusedSE3Spec, pairs):
     return padded
 
 
-def _forward_tile(spec: FusedSE3Spec, x_raw, wbs, scales=None):
+def _forward_tile_gen(spec: FusedSE3Spec, x_raw, wbs, scales=None):
+    """Generator form of _forward_tile (yields at op-group boundaries)."""
     s = spec
     dt = jnp.dtype(s.compute_dtype)
-    enc, trig = _encode(s, x_raw, scales, return_trig=True)
+    enc, trig = yield from _encode_gen(s, x_raw, scales, return_trig=True)
+    yield
     ins, outs = [], []
     h = enc
     for i in range(s.depth):
@@ -191,6 +207,7 @@ def _forward_tile(spec: FusedSE3Spec, x_raw, wbs, scales=None):
         ins.append(h)
         from hypernerf_tpu.ops.pallas.fused_mlp import _dot_act
         h = _dot_act(h, w, b, dt)
+        yield
         outs.append(h)
         if i in s.skips:
             h = jnp.concatenate([h, enc], axis=-1)
@@ -198,6 +215,7 @@ def _forward_tile(spec: FusedSE3Spec, x_raw, wbs, scales=None):
     logit_in = h
     from hypernerf_tpu.ops.pallas.fused_mlp import _dot_act
     trunk = _dot_act(h, w, b, dt, relu=False)  # no activation
+    yield
     w_w, w_b = wbs[s.depth + 1]
     v_w, v_b = wbs[s.depth + 2]
     w_out = _dot(trunk, w_w) + w_b.astype(jnp.float32)
@@ -205,13 +223,18 @@ def _forward_tile(spec: FusedSE3Spec, x_raw, wbs, scales=None):
     return enc, trig, ins, outs, logit_in, trunk, w_out, v_out
 
 
-def _backward_tile(spec: FusedSE3Spec, x_raw, g_wv, wbs, scales=None,
-                   fwd_vals=None):
-    """g_wv: (T, OUT_PAD) fp32 packed [g_w(3) | g_v(3) | 0]."""
+def _forward_tile(spec: FusedSE3Spec, x_raw, wbs, scales=None):
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_forward_tile_gen(spec, x_raw, wbs, scales))
+
+
+def _backward_tile_gen(spec: FusedSE3Spec, x_raw, g_wv, wbs, scales=None,
+                       fwd_vals=None):
+    """Generator form of _backward_tile (yields at op-group boundaries)."""
     s = spec
     dt = jnp.dtype(s.compute_dtype)
     if fwd_vals is None:
-        fwd_vals = _forward_tile(s, x_raw, wbs, scales)
+        fwd_vals = yield from _forward_tile_gen(s, x_raw, wbs, scales)
     enc, trig, ins, outs, logit_in, trunk, _, _ = fwd_vals
     t = x_raw.shape[0]
     grads = [None] * s.n_layers
@@ -227,11 +250,14 @@ def _backward_tile(spec: FusedSE3Spec, x_raw, g_wv, wbs, scales=None,
                           jnp.sum(g_v, axis=0, keepdims=True))
     g_trunk = (_dot_t(g_w_c, wbs[s.depth + 1][0])
                + _dot_t(g_v_c, wbs[s.depth + 2][0])).astype(dt)
+    yield
 
     grads[s.depth] = (_dot_acc(logit_in, g_trunk),
                       jnp.sum(g_trunk.astype(jnp.float32), axis=0,
                               keepdims=True))
+    yield
     gh = _dot_t(g_trunk, wbs[s.depth][0]).astype(dt)
+    yield
 
     g_enc_acc = jnp.zeros((t, s.enc_pad), jnp.float32)
     if (s.depth - 1) in s.skips:
@@ -241,13 +267,24 @@ def _backward_tile(spec: FusedSE3Spec, x_raw, g_wv, wbs, scales=None,
         gh = jnp.where(outs[i].astype(jnp.float32) > 0, gh, 0).astype(dt)
         grads[i] = (_dot_acc(ins[i], gh),
                     jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True))
+        yield
         gh = _dot_t(gh, wbs[i][0]).astype(dt)
+        yield
         if i > 0 and (i - 1) in s.skips:
             g_enc_acc += gh[:, s.w_pad:].astype(jnp.float32)
             gh = gh[:, :s.w_pad]
     g_enc_acc += gh.astype(jnp.float32)
-    dx_raw = _encode_bwd(s, x_raw, g_enc_acc, scales, trig=trig)
+    dx_raw = yield from _encode_bwd_gen(s, x_raw, g_enc_acc, scales,
+                                        trig=trig)
     return dx_raw, grads
+
+
+def _backward_tile(spec: FusedSE3Spec, x_raw, g_wv, wbs, scales=None,
+                   fwd_vals=None):
+    """g_wv: (T, OUT_PAD) fp32 packed [g_w(3) | g_v(3) | 0]."""
+    from hypernerf_tpu.ops.pallas.common import drive
+    return drive(_backward_tile_gen(spec, x_raw, g_wv, wbs, scales,
+                                    fwd_vals))
 
 
 def _weight_specs(padded_wbs):

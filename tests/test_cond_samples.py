@@ -135,6 +135,34 @@ def test_fused_level_cond_samples_parity(level_setup, split_bwd):
             assert _relmax(a, b) < 1e-4
 
 
+@pytest.mark.parametrize('pipe_fwd', [False, True])
+def test_fused_level_cond_samples_pipelined_matches_split(level_setup,
+                                                          pipe_fwd):
+    """Pipelined backward (and optionally forward) in the ray-native mode:
+    same tile size as the split backward, so per-ray reductions and dW
+    accumulation order are identical — results must match exactly."""
+    spec, pairs, origins, dirs, z, emb, cond = level_setup
+    wp, hp, tp = pairs
+
+    def f(spec_v, origins, dirs, z, emb, cond, wp, hp, tp):
+        out = fused_level(spec_v._replace(cond_samples=S),
+                          None, emb, cond, None, wp, hp, tp,
+                          origins=origins, directions=dirs, z_vals=z)
+        return jnp.sum(out['rgb'] * 1.7) + jnp.sum(out['alpha'] * 0.9)
+
+    args = (origins, dirs, z, emb, cond, wp, hp, tp)
+    nums = tuple(range(8))
+    v_split, g_split = jax.value_and_grad(
+        lambda *a: f(spec, *a), argnums=nums)(*args)
+    spec_p = spec._replace(pipelined_bwd=True, pipelined_fwd=pipe_fwd)
+    v_pipe, g_pipe = jax.value_and_grad(
+        lambda *a: f(spec_p, *a), argnums=nums)(*args)
+    np.testing.assert_allclose(float(v_split), float(v_pipe), rtol=1e-7)
+    for a, b in zip(jax.tree.leaves(g_split), jax.tree.leaves(g_pipe)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_fused_mlp_cond_samples_parity():
     rs = np.random.RandomState(1)
     spec = FusedMLPSpec(

@@ -304,6 +304,163 @@ def test_fused_level_plane_backward_matches_composition():
                                rtol=1e-5, atol=1e-7, err_msg='split vs one')
 
 
+def test_fused_level_pipelined_backward_matches_split():
+    """The software-pipelined one-kernel backward (template tile i
+    interleaved with fields tile i-1, dx_t in VMEM scratch) agrees with the
+    split two-kernel backward — same tile size, so accumulation order is
+    identical and results match to fp32 exactness."""
+    pts, embed, rgbc, (warp, wp0), (hyper, hp0), (tmpl, tp0) = _setup(seed=7)
+    wp_l = mlp_params_to_list(wp0['mlp'])
+    hp_l = mlp_params_to_list(hp0['mlp'])
+    tp_l = nerf_mlp_params_to_list(tp0)
+    tgt = jnp.asarray(np.random.RandomState(13).randn(B, S, 3), jnp.float32)
+
+    def loss(spec, wp_l, hp_l, tp_l, pts, embed):
+        emb_flat = jnp.broadcast_to(embed[:, None, :],
+                                    (B, S, E)).reshape(-1, E)
+        rgbc_flat = jnp.broadcast_to(rgbc[:, None, :],
+                                     (B, S, 11)).reshape(-1, 11)
+        out = fused_level(spec, pts.reshape(-1, 3), emb_flat, rgbc_flat,
+                          None, wp_l, hp_l, tp_l)
+        return (jnp.mean((out['rgb'].reshape(B, S, 3) - tgt) ** 2)
+                + jnp.mean(out['alpha'] ** 2))
+
+    args = (wp_l, hp_l, tp_l, pts, embed)
+    g_split = jax.grad(lambda *a: loss(SPEC, *a), argnums=(0, 1, 2, 3, 4))(
+        *args)
+    spec_p = SPEC._replace(pipelined_bwd=True)
+    g_pipe = jax.grad(lambda *a: loss(spec_p, *a), argnums=(0, 1, 2, 3, 4))(
+        *args)
+    for a, b in zip(jax.tree.leaves(g_split), jax.tree.leaves(g_pipe)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_fused_level_pipelined_backward_matches_split_alpha_cond():
+    """Pipelined backward with the alpha-condition variant."""
+    rs = np.random.RandomState(21)
+    pts = jnp.asarray(rs.randn(B, S, 3).astype(np.float32) * 0.4)
+    embed = jnp.asarray(rs.randn(B, E).astype(np.float32) * 0.2)
+    rgbc = jnp.asarray(rs.randn(B, 11).astype(np.float32))
+    alphac = jnp.asarray(rs.randn(B, 5).astype(np.float32))
+    warp = TranslationField(depth=2, width=16, n_freq=4, skips=(1,))
+    hyper = HyperSheetMLP(out_ch=H, depth=2, width=16, n_freq=3, skips=(1,))
+    tmpl = NerfMLP(trunk_depth=3, trunk_width=32, rgb_branch_depth=2,
+                   rgb_branch_width=16, skips=(1,))
+    embed_b = jnp.broadcast_to(embed[:, None, :], (B, S, E))
+    wp0 = warp.init(jax.random.PRNGKey(0), pts, embed_b)['params']
+    hp0 = hyper.init(jax.random.PRNGKey(1), pts, embed_b)['params']
+    feat = jnp.concatenate([posenc_orig(pts, 4),
+                            posenc_orig(jnp.zeros((B, S, H)), 2)], -1)
+    tp0 = tmpl.init(jax.random.PRNGKey(2), feat, alpha_condition=alphac,
+                    rgb_condition=rgbc)['params']
+    wp_l = mlp_params_to_list(wp0['mlp'])
+    hp_l = mlp_params_to_list(hp0['mlp'])
+    tp_l = nerf_mlp_params_to_list(tp0)
+    tgt = jnp.asarray(np.random.RandomState(2).randn(B, S, 3), jnp.float32)
+
+    def loss(spec, wp_l, hp_l, tp_l, pts, embed, alphac):
+        emb_flat = jnp.broadcast_to(embed[:, None, :],
+                                    (B, S, E)).reshape(-1, E)
+        rgbc_flat = jnp.broadcast_to(rgbc[:, None, :],
+                                     (B, S, 11)).reshape(-1, 11)
+        ac_flat = jnp.broadcast_to(alphac[:, None, :],
+                                   (B, S, 5)).reshape(-1, 5)
+        out = fused_level(spec, pts.reshape(-1, 3), emb_flat, rgbc_flat,
+                          ac_flat, wp_l, hp_l, tp_l)
+        return (jnp.mean((out['rgb'].reshape(B, S, 3) - tgt) ** 2)
+                + jnp.mean(out['alpha'] ** 2))
+
+    spec0 = SPEC._replace(alpha_cond_ch=5)
+    spec_p = spec0._replace(pipelined_bwd=True)
+    args = (wp_l, hp_l, tp_l, pts, embed, alphac)
+    nums = (0, 1, 2, 3, 4, 5)
+    g_split = jax.grad(lambda *a: loss(spec0, *a), argnums=nums)(*args)
+    g_pipe = jax.grad(lambda *a: loss(spec_p, *a), argnums=nums)(*args)
+    for a, b in zip(jax.tree.leaves(g_split), jax.tree.leaves(g_pipe)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_fused_level_pipelined_backward_plane():
+    """Pipelined backward in axis_aligned_plane mode (no hyper MLP)."""
+    pts, embed, rgbc, (warp, wp0), (tmpl, tp0) = _plane_setup(seed=6)
+    wp_l = mlp_params_to_list(wp0['mlp'])
+    tp_l = nerf_mlp_params_to_list(tp0)
+    tgt = jnp.asarray(np.random.RandomState(3).randn(B, S, 3), jnp.float32)
+
+    def loss(spec, wp_l, tp_l, pts, embed):
+        emb_flat = jnp.broadcast_to(embed[:, None, :],
+                                    (B, S, E)).reshape(-1, E)
+        rgbc_flat = jnp.broadcast_to(rgbc[:, None, :],
+                                     (B, S, 11)).reshape(-1, 11)
+        out = fused_level(spec, pts.reshape(-1, 3), emb_flat, rgbc_flat,
+                          None, wp_l, [], tp_l)
+        return jnp.mean((out['rgb'].reshape(B, S, 3) - tgt) ** 2)
+
+    nums = (0, 1, 2, 3)
+    g_split = jax.grad(lambda *a: loss(PLANE_SPEC, *a), argnums=nums)(
+        wp_l, tp_l, pts, embed)
+    spec_p = PLANE_SPEC._replace(pipelined_bwd=True)
+    g_pipe = jax.grad(lambda *a: loss(spec_p, *a), argnums=nums)(
+        wp_l, tp_l, pts, embed)
+    for a, b in zip(jax.tree.leaves(g_split), jax.tree.leaves(g_pipe)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_fused_level_pipelined_forward_matches_standard():
+    """The software-pipelined forward (fields tile i interleaved with
+    template tile i-1, raw_t in VMEM scratch) is bit-equal to the standard
+    fused forward — same per-tile math, same order within each stream."""
+    pts, embed, rgbc, wm, hm, tm = _setup(seed=17)
+    wp_l = mlp_params_to_list(wm[1]['mlp'])
+    hp_l = mlp_params_to_list(hm[1]['mlp'])
+    tp_l = nerf_mlp_params_to_list(tm[1])
+    emb_flat = jnp.broadcast_to(embed[:, None, :], (B, S, E)).reshape(-1, E)
+    rgbc_flat = jnp.broadcast_to(rgbc[:, None, :], (B, S, 11)).reshape(-1, 11)
+
+    def run(spec):
+        return fused_level(spec, pts.reshape(-1, 3), emb_flat, rgbc_flat,
+                           None, wp_l, hp_l, tp_l)
+
+    base = run(SPEC)
+    pipe = run(SPEC._replace(pipelined_fwd=True))
+    np.testing.assert_array_equal(np.asarray(pipe['rgb']),
+                                  np.asarray(base['rgb']))
+    np.testing.assert_array_equal(np.asarray(pipe['alpha']),
+                                  np.asarray(base['alpha']))
+
+
+def test_fused_level_fully_pipelined_grads_match_split():
+    """pipelined_fwd + pipelined_bwd together: the saved raw_t residual and
+    the whole gradient agree with the split path."""
+    pts, embed, rgbc, (warp, wp0), (hyper, hp0), (tmpl, tp0) = _setup(seed=8)
+    wp_l = mlp_params_to_list(wp0['mlp'])
+    hp_l = mlp_params_to_list(hp0['mlp'])
+    tp_l = nerf_mlp_params_to_list(tp0)
+    tgt = jnp.asarray(np.random.RandomState(14).randn(B, S, 3), jnp.float32)
+
+    def loss(spec, wp_l, hp_l, tp_l, pts, embed):
+        emb_flat = jnp.broadcast_to(embed[:, None, :],
+                                    (B, S, E)).reshape(-1, E)
+        rgbc_flat = jnp.broadcast_to(rgbc[:, None, :],
+                                     (B, S, 11)).reshape(-1, 11)
+        out = fused_level(spec, pts.reshape(-1, 3), emb_flat, rgbc_flat,
+                          None, wp_l, hp_l, tp_l)
+        return (jnp.mean((out['rgb'].reshape(B, S, 3) - tgt) ** 2)
+                + jnp.mean(out['alpha'] ** 2))
+
+    args = (wp_l, hp_l, tp_l, pts, embed)
+    nums = (0, 1, 2, 3, 4)
+    g_split = jax.grad(lambda *a: loss(SPEC, *a), argnums=nums)(*args)
+    spec_p = SPEC._replace(pipelined_fwd=True, pipelined_bwd=True)
+    g_pipe = jax.grad(lambda *a: loss(spec_p, *a), argnums=nums)(*args)
+    for a, b in zip(jax.tree.leaves(g_split), jax.tree.leaves(g_pipe)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_fused_level_single_kernel_backward_matches_split():
     """The split (two-kernel) and fused (one-kernel) backwards agree."""
     pts, embed, rgbc, (warp, wp0), (hyper, hp0), (tmpl, tp0) = _setup(seed=3)

@@ -317,17 +317,19 @@ def test_fused_se3_windowed_matches_reference():
 
 # ------------------------------------------------------- fused_level (se3)
 
-@pytest.mark.parametrize('split_bwd', [True, False])
-def test_fused_level_se3_matches_composition(split_bwd):
+@pytest.mark.parametrize('bwd_mode', ['split', 'one', 'pipelined'])
+def test_fused_level_se3_matches_composition(bwd_mode):
     """SE(3) warp (trunk + heads + in-kernel screw exponential) + hyper
     sheet + windowed Nerfies template, all fused; forward + exact grads."""
     from hypernerf_tpu.models.warping import SE3Field
     from hypernerf_tpu.ops.pallas.fused_se3 import se3_params_to_list
 
     B, S, E, H = 3, 8, 8, 4
+    split_bwd = bwd_mode == 'split'
     nerf_alpha, hyper_alpha = jnp.float32(3.0), jnp.float32(0.7)
     warp_alpha = jnp.float32(1.4)
     spec = FusedLevelSpec(
+        pipelined_bwd=bwd_mode == 'pipelined',
         embed_ch=E,
         warp_type='se3', warp_depth=2, warp_width=16,
         se3_min_deg=0, se3_max_deg=4, warp_windowed=True,

@@ -29,6 +29,9 @@ def main():
     ap.add_argument('--cond_samples', type=int, default=-1,
                     help='-1 = samples (per-ray conds), 0 = per-point')
     ap.add_argument('--reps', type=int, default=20)
+    ap.add_argument('--pipe', default='none',
+                    help="comma list from {none,bwd,fwd,both}: the "
+                         "software-pipelined kernel variants to sweep")
     args = ap.parse_args()
 
     from hypernerf_tpu.utils.platform import apply_platform_overrides
@@ -111,9 +114,12 @@ def main():
 
     for tile in map(int, args.tiles.split(',')):
         for bwd in map(int, args.bwd.split(',')):
-            for tmpl in map(int, args.tmpl.split(',')):
+          for tmpl in map(int, args.tmpl.split(',')):
+            for pipe in args.pipe.split(','):
                 spec = base._replace(tile=tile, bwd_tile=bwd,
-                                     tmpl_bwd_tile=tmpl, cond_samples=cs)
+                                     tmpl_bwd_tile=tmpl, cond_samples=cs,
+                                     pipelined_bwd=pipe in ('bwd', 'both'),
+                                     pipelined_fwd=pipe in ('fwd', 'both'))
 
                 def fwd(pts, emb, cond):
                     if cs:
@@ -131,12 +137,13 @@ def main():
                     t_f = timeit(f, pts, emb, cond)
                     t_fb = timeit(fb, pts, emb, cond)
                     print(f'tile={tile:5d} bwd={bwd:4d} tmpl={tmpl:4d} '
-                          f'cs={cs:3d}: fwd {t_f:7.2f} ms   fwd+bwd '
-                          f'{t_fb:7.2f} ms   bwd {t_fb - t_f:7.2f} ms',
-                          flush=True)
+                          f'cs={cs:3d} pipe={pipe:4s}: fwd {t_f:7.2f} ms   '
+                          f'fwd+bwd {t_fb:7.2f} ms   bwd {t_fb - t_f:7.2f} '
+                          f'ms', flush=True)
                 except Exception as e:
-                    print(f'tile={tile} bwd={bwd} tmpl={tmpl}: FAIL '
-                          f'{type(e).__name__}: {str(e)[:160]}', flush=True)
+                    print(f'tile={tile} bwd={bwd} tmpl={tmpl} pipe={pipe}: '
+                          f'FAIL {type(e).__name__}: {str(e)[:160]}',
+                          flush=True)
 
 
 if __name__ == '__main__':

@@ -104,7 +104,14 @@ def main():
                                           use_pallas_fields=True)),
         ('fused level kernel', dict(use_pallas=True,
                                     use_pallas_fields=True,
-                                    use_pallas_level=True))]
+                                    use_pallas_level=True)),
+        # Software-pipelined level kernels (fused_level pipelined_fwd/_bwd):
+        # template/fields streams interleaved across a one-tile skew.
+        ('pipelined level kernels', dict(use_pallas=True,
+                                         use_pallas_fields=True,
+                                         use_pallas_level=True,
+                                         pallas_pipelined_bwd=True,
+                                         pallas_pipelined_fwd=True))]
     compare('flagship', base, variables, None, kernel_combos)
 
     # Anneal mode: Nerfies windowed encoding, mid-anneal alphas — the window
@@ -138,7 +145,12 @@ def main():
                                            use_pallas_fields=True,
                                            use_pallas_level=True,
                                            pallas_tile=1024,
-                                           pallas_bwd_tile=512))],
+                                           pallas_bwd_tile=512)),
+             ('se3 pipelined level', dict(use_pallas=True,
+                                          use_pallas_fields=True,
+                                          use_pallas_level=True,
+                                          pallas_pipelined_bwd=True,
+                                          pallas_pipelined_fwd=True))],
             check_grads=True)
 
     # Quaternion warp (same fused trunk, quaternion-exp retraction). Grad
@@ -158,7 +170,12 @@ def main():
                                                   use_pallas_fields=True,
                                                   use_pallas_level=True,
                                                   pallas_tile=1024,
-                                                  pallas_bwd_tile=512))],
+                                                  pallas_bwd_tile=512)),
+             ('quaternion pipelined level', dict(use_pallas=True,
+                                                 use_pallas_fields=True,
+                                                 use_pallas_level=True,
+                                                 pallas_pipelined_bwd=True,
+                                                 pallas_pipelined_fwd=True))],
             check_grads=True)
 
     # Axis-aligned-plane slicing: the hyper coords ARE the embed
@@ -178,7 +195,12 @@ def main():
                                                use_pallas_fields=True)),
              ('plane fused level kernel', dict(use_pallas=True,
                                                use_pallas_fields=True,
-                                               use_pallas_level=True))],
+                                               use_pallas_level=True)),
+             ('plane pipelined level', dict(use_pallas=True,
+                                            use_pallas_fields=True,
+                                            use_pallas_level=True,
+                                            pallas_pipelined_bwd=True,
+                                            pallas_pipelined_fwd=True))],
             check_grads=True)
 
     sys.exit(1 if failures else 0)
