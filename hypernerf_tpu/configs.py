@@ -106,8 +106,10 @@ class NerfConfig:
     # (fused_level._make_pipelined_bwd_kernel) — Mosaic overlaps the
     # alternating independent streams, hiding the lane-starved fields work
     # under the 256-wide template matmuls. Both stages run at
-    # pallas_bwd_tile. Numerics identical to the split backward.
-    pallas_pipelined_bwd: bool = False
+    # pallas_bwd_tile. Numerics identical to the split backward. Default on
+    # since round 3 (flagship 76.9k -> 83.4k rays/s; se3/quaternion/plane/
+    # anneal variants parity-checked on device and in interpret tests).
+    pallas_pipelined_bwd: bool = True
     # Same pipelining for the level forward (fields tile i interleaved
     # with template tile i-1).
     pallas_pipelined_fwd: bool = False
