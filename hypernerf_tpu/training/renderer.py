@@ -35,7 +35,17 @@ from hypernerf_tpu.parallel.mesh import DATA_AXIS
 _KEEP = ('rgb', 'depth', 'med_depth', 'acc')
 
 
-def make_render_fn(model: NerfModel, chunk: int = 8192, mesh=None):
+def quantize_rgb_u8(rgb):
+    """Device-side uint8 quantization, bit-identical to the host
+    ``utils.visualization.to_uint8`` (clip to [0,1], scale, TRUNCATE): the
+    PNG bytes eval.py writes are unchanged, but the host readback of a
+    504x378 frame shrinks 4x (the remote-tunnel transfer dominates
+    secs/frame, BENCHMARKS.md render modes)."""
+    return (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def make_render_fn(model: NerfModel, chunk: int = 8192, mesh=None,
+                   keep=_KEEP, levels=None, quantize=False):
     """Build a jitted tiled renderer.
 
     Returns render(params, rays (N, 8|9), extra_params, occupancy_grid=None)
@@ -45,6 +55,11 @@ def make_render_fn(model: NerfModel, chunk: int = 8192, mesh=None):
     ``occupancy_grid``: pass a grid-trained model's (G, G, G) grid so
     val/eval sample through the same grid-guided coarse distribution the
     model was trained with (replicated across shards).
+
+    ``keep`` / ``levels`` / ``quantize`` bound the host readback (the
+    tunnel transfer is the render-latency tail): only the named per-ray
+    outputs / levels are returned, and with ``quantize`` the rgb comes
+    back as uint8 (see ``quantize_rgb_u8`` — PNG-identical).
     """
 
     def render_slice(params, rays, extra_params, occupancy_grid):
@@ -56,8 +71,14 @@ def make_render_fn(model: NerfModel, chunk: int = 8192, mesh=None):
                               extra_params=extra_params,
                               deterministic=True, return_weights=False,
                               occupancy_grid=occupancy_grid)
-            return {level: {k: v for k, v in res.items() if k in _KEEP}
-                    for level, res in out.items()}
+            out = {level: {k: v for k, v in res.items() if k in keep}
+                   for level, res in out.items()
+                   if levels is None or level in levels}
+            if quantize:
+                for res in out.values():
+                    if 'rgb' in res:
+                        res['rgb'] = quantize_rgb_u8(res['rgb'])
+            return out
 
         out = jax.lax.map(render_tile, tiles)
         return jax.tree.map(lambda x: x.reshape(n, *x.shape[2:]), out)
@@ -110,12 +131,14 @@ class ImageRenderer:
     mesh); without one, rendering is single-device.
     """
 
-    def __init__(self, model: NerfModel, chunk: int = 8192, mesh=None):
+    def __init__(self, model: NerfModel, chunk: int = 8192, mesh=None,
+                 keep=_KEEP, levels=None, quantize=False):
         self.model = model
         self.chunk = chunk
         self.mesh = mesh
         self.n_shards = mesh.devices.size if mesh is not None else 1
-        self._render_fn = make_render_fn(model, chunk, mesh)
+        self._render_fn = make_render_fn(model, chunk, mesh, keep=keep,
+                                         levels=levels, quantize=quantize)
 
     def __call__(self, params, rays: np.ndarray,
                  extra_params: Optional[dict] = None,

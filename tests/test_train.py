@@ -291,6 +291,30 @@ def test_renderer_padding():
     assert np.isfinite(out['coarse']['rgb']).all()
 
 
+def test_renderer_packed_readback_matches_float():
+    """keep/levels/quantize bound the readback without changing pixels:
+    the device-quantized rgb is bit-equal to host to_uint8 of the float
+    render (so eval.py's PNG bytes are unchanged by the packed path)."""
+    from hypernerf_tpu.utils.visualization import to_uint8
+    cfg = tiny_nerf_config(num_fine_samples=4, use_warp=False,
+                           hyper_slice_method='none',
+                           use_stratified_sampling=False, noise_std=None)
+    model = NerfModel(cfg)
+    rays = make_rays(32)
+    from hypernerf_tpu.ops.ray_dict import prepare_ray_dict
+    key = jax.random.PRNGKey(0)
+    variables = model.init({'params': key, 'sampling': key},
+                           prepare_ray_dict(jnp.asarray(rays[:8])))
+    full = ImageRenderer(model, chunk=16)(variables['params'], rays)
+    packed = ImageRenderer(model, chunk=16, keep=('rgb',), levels=('fine',),
+                           quantize=True)(variables['params'], rays)
+    assert set(packed) == {'fine'}
+    assert set(packed['fine']) == {'rgb'}
+    assert packed['fine']['rgb'].dtype == np.uint8
+    np.testing.assert_array_equal(packed['fine']['rgb'],
+                                  to_uint8(full['fine']['rgb']))
+
+
 def test_trainer_blender_dataset(tmp_path):
     """Trainer end-to-end on a Blender scene (white background honored)."""
     import json
