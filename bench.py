@@ -127,6 +127,10 @@ def main():
                         help='override NerfConfig.pallas_bwd_tile')
     parser.add_argument('--fwd_tile', type=int, default=None,
                         help='override NerfConfig.pallas_tile')
+    parser.add_argument('--n_fine', type=int, default=None,
+                        help='override num_fine_samples (e.g. 128 = the '
+                             'reference default, a non-power-of-two union '
+                             'riding the sentinel-padded in-kernel merge)')
     args = parser.parse_args()
 
     from hypernerf_tpu.utils.platform import apply_platform_overrides
@@ -156,6 +160,8 @@ def main():
         compute_dtype='bfloat16',
     )
     cfg_kwargs.update(mode_overrides(args.mode))
+    if args.n_fine is not None:
+        cfg_kwargs['num_fine_samples'] = args.n_fine
     if args.pipelined_bwd is not None:
         cfg_kwargs['pallas_pipelined_bwd'] = bool(args.pipelined_bwd)
     if args.pipelined_fwd is not None:

@@ -852,10 +852,11 @@ class NerfModel(nn.Module):
                 fine_key = self.make_rng('sampling')
             else:
                 fine_key = jax.random.PRNGKey(0)
-            total = cfg.num_coarse_samples + cfg.num_fine_samples
+            # Non-power-of-two totals (the reference-default 64+128) ride
+            # the fast path too: the kernel pads its bitonic union-merge
+            # with sentinel lanes (fused_composite.CompositeSpec.union_width).
             if (cfg.use_pallas and cfg.use_pallas_level
                     and not occupancy_active and not render_opts
-                    and total & (total - 1) == 0
                     and (jax.default_backend() == 'tpu'
                          or cfg.pallas_interpret)
                     and not self.is_initializing()):

@@ -37,6 +37,19 @@ def _rup(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _next_pow2(x):
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+# Far-beyond-any-depth sentinel for the union-merge padding lanes. NOT
+# jnp.inf: the in-kernel lane reverse is an anti-diagonal MATMUL
+# (_reverse_lanes) and inf * 0.0 = NaN would poison the permutation.
+_Z_SENTINEL = 1e10
+
+
 class CompositeSpec(NamedTuple):
     """Static config (hashable)."""
     samples: int
@@ -50,11 +63,21 @@ class CompositeSpec(NamedTuple):
     # inverse-CDF over its own weights (ops/sampling.piecewise_constant_pdf
     # semantics) + bitonic union-merge with the coarse z — the hierarchical
     # sample_pdf (model_utils.py:206-232) without leaving VMEM. Requires
-    # sorted u (ops/sampling.sorted_uniform) and samples + fine_samples a
-    # power of two (the merge network). The union depths are gradient-dead
-    # (fine samples detached per the reference's model_utils.py:204; coarse
-    # depths parameter-free), so the backward ignores their cotangent.
+    # sorted u (ops/sampling.sorted_uniform). A non-power-of-two total
+    # (e.g. the reference-default 64+128, opt.py:23) is handled by padding
+    # the merge with _Z_SENTINEL lanes up to the next power of two inside
+    # the kernel and slicing them off outside — the fine level still sees
+    # exactly samples + fine_samples depths. The union depths are
+    # gradient-dead (fine samples detached per the reference's
+    # model_utils.py:204; coarse depths parameter-free), so the backward
+    # ignores their cotangent.
     fine_samples: int = 0
+
+    @property
+    def union_width(self) -> int:
+        """In-kernel merge width: samples + fine_samples rounded up to a
+        power of two (the bitonic network's requirement)."""
+        return _next_pow2(self.samples + self.fine_samples)
 
 
 def _shift_scan(x, op, identity):
@@ -211,6 +234,14 @@ def _fine_z_tile(spec: CompositeSpec, weights, z, u, col):
     denom = jnp.where(denom < eps, 1.0, denom)
     samples = bins_g0 + (u - cdf_g0) / denom * (bins_g1 - bins_g0)
 
+    pad = sp.union_width - (s + n)
+    if pad:
+        # Ascending sentinel tail; after the reverse it becomes the peak
+        # plateau of the bitonic sequence [z asc | sentinels | fine desc],
+        # sorts to the top lanes, and is sliced off outside the kernel.
+        samples = jnp.concatenate(
+            [samples, jnp.full((samples.shape[0], pad), _Z_SENTINEL,
+                               samples.dtype)], axis=-1)
     cat = jnp.concatenate([z, _reverse_lanes(samples)], axis=-1)
     return _bitonic_merge(cat)
 
@@ -398,8 +429,7 @@ def _fused(spec, packed, z, dnorm, noise, u):
         + ([u] if sp.fine_samples else []), n_tiles)
     out_protos = [jnp.zeros((b, OUT_PAD)), jnp.zeros((b, sp.samples))]
     if sp.fine_samples:
-        out_protos.append(
-            jnp.zeros((b, sp.samples + sp.fine_samples)))
+        out_protos.append(jnp.zeros((b, sp.union_width)))
     out_shapes = [jax.ShapeDtypeStruct((n_tiles, sp.rays_per_tile,
                                         a.shape[1]), jnp.float32)
                   for a in out_protos]
@@ -413,7 +443,7 @@ def _fused(spec, packed, z, dnorm, noise, u):
         interpret=sp.interpret,
         compiler_params=vmem_params(sp.interpret),
     )(*ray_in)
-    z_union = (outs[2].reshape(b, sp.samples + sp.fine_samples)
+    z_union = (outs[2].reshape(b, sp.union_width)
                if sp.fine_samples else None)
     return outs[0].reshape(b, OUT_PAD), outs[1].reshape(b, sp.samples), \
         z_union
@@ -492,10 +522,6 @@ def fused_composite(spec: CompositeSpec, packed, z_vals, dirs, noise=None,
     assert s == sp.samples, (s, sp.samples)
     assert (noise is not None) == sp.has_noise
     assert (u is not None) == (sp.fine_samples > 0)
-    if sp.fine_samples:
-        total = s + sp.fine_samples
-        assert total & (total - 1) == 0, \
-            f'bitonic union-merge needs a power-of-two total, got {total}'
     b_pad = _rup(b, sp.rays_per_tile)
     dnorm = jnp.linalg.norm(dirs, axis=-1, keepdims=True).astype(jnp.float32)
 
@@ -522,5 +548,6 @@ def fused_composite(spec: CompositeSpec, packed, z_vals, dirs, noise=None,
         'weights': weights[:b],
     }
     if sp.fine_samples:
-        result['z_union'] = z_union[:b]
+        # Drop the in-kernel merge's sentinel padding lanes (XLA slice).
+        result['z_union'] = z_union[:b, :s + sp.fine_samples]
     return result

@@ -19,8 +19,9 @@ def mse_loss(results: dict, targets: jnp.ndarray) -> jnp.ndarray:
 loss_dict = {'mse': mse_loss}
 
 
-def _sym3_eigvals(A: jnp.ndarray) -> jnp.ndarray:
-    """Eigenvalues of symmetric (..., 3, 3) matrices, closed form.
+def _sym3_eigvals_cm(xx, yy, zz, xy, xz, yz):
+    """Eigenvalues of symmetric 3x3 matrices from their six COMPONENT
+    ARRAYS, closed form — every input/output is (...,)-shaped.
 
     The trigonometric method (Smith 1961): shift by the mean eigenvalue q,
     normalize by p = sqrt(tr(B^2)/6), read the roots of the normalized
@@ -29,27 +30,48 @@ def _sym3_eigvals(A: jnp.ndarray) -> jnp.ndarray:
     jnp.linalg.svd/eigvalsh at NeRF sample counts (512k 3x3 matrices:
     15 ms vs 1.7 s; svd's backward does not even fit VMEM).
 
+    Component-major on purpose: the earlier (..., 3, 3) tensor form put
+    every intermediate on (3, 3) minor dims — 3/8 sublane x 3/128 lane
+    tile utilization, with jnp.linalg.det lowering to strided gathers —
+    and its GRADIENT alone cost ~95 ms per 512k matrices. Six flat
+    component arrays keep all ~80 flops full-lane elementwise (both
+    directions fuse into one pass over N).
+
     Degenerate guard (the warp-init regime, J ~= I so A ~= I): where
     tr(B^2) ~ 0 every eigenvalue is q. Both branches of the select are
     computed on SAFE inputs (p_safe=1 in the degenerate lanes) so the
     gradient of the discarded branch cannot produce inf/NaN — the
     double-where pattern.
+
+    Returns (l1, l2, l3) component arrays, descending.
     """
-    q = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / 3.0
-    B = A - q * jnp.eye(3, dtype=A.dtype)
-    p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
+    q = (xx + yy + zz) / 3.0
+    bxx, byy, bzz = xx - q, yy - q, zz - q
+    p2 = (bxx * bxx + byy * byy + bzz * bzz
+          + 2.0 * (xy * xy + xz * xz + yz * yz)) / 6.0
     # Scale-relative degeneracy test (eigenvalue spread << mean eigenvalue).
-    degen = p2 < (1e-12 * jnp.squeeze(q, (-2, -1)) ** 2 + 1e-30)
+    degen = p2 < (1e-12 * q * q + 1e-30)
     p = jnp.sqrt(jnp.where(degen, 1.0, p2))
-    Bn = B / p[..., None, None]
-    r = jnp.clip(0.5 * jnp.linalg.det(Bn), -1.0 + 1e-6, 1.0 - 1e-6)
+    # det(B/p) via the symmetric 3x3 cofactor expansion on components.
+    det_b = (bxx * (byy * bzz - yz * yz)
+             - xy * (xy * bzz - yz * xz)
+             + xz * (xy * yz - byy * xz))
+    r = jnp.clip(0.5 * det_b / (p * p * p), -1.0 + 1e-6, 1.0 - 1e-6)
     phi = jnp.arccos(r) / 3.0
     two_p = jnp.where(degen, 0.0, 2.0 * p)
-    qs = jnp.squeeze(q, (-2, -1))
-    l1 = qs + two_p * jnp.cos(phi)
-    l3 = qs + two_p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
-    l2 = 3.0 * qs - l1 - l3
-    return jnp.stack([l1, l2, l3], axis=-1)
+    l1 = q + two_p * jnp.cos(phi)
+    l3 = q + two_p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    l2 = 3.0 * q - l1 - l3
+    return l1, l2, l3
+
+
+def _sym3_eigvals(A: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvalues of symmetric (..., 3, 3) matrices (descending): the
+    tensor-layout wrapper over ``_sym3_eigvals_cm`` (see there for the
+    method and why the math runs on component arrays)."""
+    comp = [A[..., i, j] for (i, j) in
+            ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))]
+    return jnp.stack(_sym3_eigvals_cm(*comp), axis=-1)
 
 
 def elastic_loss(jacobian: jnp.ndarray, eps: float = 1e-6,
@@ -75,11 +97,21 @@ def elastic_loss(jacobian: jnp.ndarray, eps: float = 1e-6,
     Returns:
       (...,) per-sample losses.
     """
+    # Component-major throughout: nine flat (...,) jacobian columns -> six
+    # gram components -> closed-form eigenvalues, all full-lane elementwise
+    # (a (..., 3, 3) einsum + tensor eigvals ran at 3/8 x 3/128 tile
+    # utilization and dominated the elastic step — see _sym3_eigvals_cm).
     jac = jacobian.astype(jnp.float32)
-    gram = jnp.einsum('...ij,...ik->...jk', jac, jac)
-    lam = _sym3_eigvals(gram)
-    log_svals = 0.5 * jnp.log(jnp.maximum(lam, eps * eps))
-    sq_residual = jnp.sum(log_svals ** 2, axis=-1)
+    c = [jac[..., i, j] for i in range(3) for j in range(3)]
+    # gram[a, b] = sum_i J[i, a] * J[i, b]; columns a of J are c[a::3].
+    def _g(a, b):
+        return c[a] * c[b] + c[a + 3] * c[b + 3] + c[a + 6] * c[b + 6]
+    lam = _sym3_eigvals_cm(_g(0, 0), _g(1, 1), _g(2, 2),
+                           _g(0, 1), _g(0, 2), _g(1, 2))
+    sq_residual = 0.0
+    for lam_i in lam:
+        log_sval = 0.5 * jnp.log(jnp.maximum(lam_i, eps * eps))
+        sq_residual = sq_residual + log_sval ** 2
     squared_scaled = sq_residual / (scale ** 2)
     return 2.0 * squared_scaled / (squared_scaled + 4.0)
 

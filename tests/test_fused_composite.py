@@ -95,13 +95,17 @@ def test_fused_composite_ray_padding():
                                    rtol=1e-6, err_msg=key)
 
 
-def test_fused_fine_sampling_matches_sample_pdf():
+@pytest.mark.parametrize('n_fine', [S, 2 * S],
+                         ids=['pow2-total', 'nonpow2-total'])
+def test_fused_fine_sampling_matches_sample_pdf(n_fine):
     """In-kernel hierarchical sampling (fine_samples > 0): z_union must
     match ops.sampling.sample_pdf on the kernel's own weights, for sorted
-    stratified u and for deterministic linspace u."""
+    stratified u and for deterministic linspace u. n_fine = 2*S makes the
+    total 48 — the reference-default 1:2 coarse:fine ratio (opt.py:23)
+    whose union is NOT a power of two, exercising the in-kernel
+    sentinel-padded merge (CompositeSpec.union_width)."""
     from hypernerf_tpu.ops.sampling import sample_pdf, sorted_uniform
 
-    n_fine = S  # S + n_fine = 32, a power of two
     packed, z, dirs, noise = _inputs()
     spec = CompositeSpec(samples=S, rays_per_tile=8, has_noise=False,
                          fine_samples=n_fine, interpret=True)

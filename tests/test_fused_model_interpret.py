@@ -70,7 +70,11 @@ def _run(cfg, return_warp_jacobian=False, seed=0):
     dict(warp_field_type='quaternion'),
     dict(warp_field_type='translation', use_original_embed=False),  # anneal
     dict(hyper_slice_method='axis_aligned_plane'),
-], ids=['translation', 'se3', 'quaternion', 'anneal', 'plane'])
+    # Reference-default 1:2 coarse:fine ratio (opt.py:23): union 8+16=24
+    # is non-power-of-two -> in-kernel sentinel-padded merge.
+    dict(num_fine_samples=16),
+], ids=['translation', 'se3', 'quaternion', 'anneal', 'plane',
+        'nonpow2-union'])
 def test_fused_model_matches_dense(variant):
     """use_pallas_level under the interpreter == the dense XLA model."""
     warp_type = variant.get('warp_field_type')

@@ -138,7 +138,7 @@ def main():
                          '(bf16 peak via --peak_tflops, default v5e 197)')
     ap.add_argument('--peak_tflops', type=float, default=197.0)
     ap.add_argument('--config', default='flagship',
-                    choices=['flagship', 'se3', 'anneal'])
+                    choices=['flagship', 'se3', 'anneal', 'elastic'])
     ap.add_argument('--trace_dir', default=None)
     args = ap.parse_args()
 
@@ -167,8 +167,13 @@ def main():
         kw['warp_field_type'] = 'translation'
     if args.config == 'anneal':
         kw['use_original_embed'] = False
+    elastic_w = 0.0
+    if args.config == 'elastic':
+        kw['elastic_jacobian_samples'] = 16
+        elastic_w = 0.01
     cfg = NerfConfig(**kw)
-    train_cfg = TrainConfig(batch_size=batch_size, lr=5e-4)
+    train_cfg = TrainConfig(batch_size=batch_size, lr=5e-4,
+                            elastic_loss_weight=elastic_w)
 
     mesh = create_mesh()
     model = NerfModel(cfg)
