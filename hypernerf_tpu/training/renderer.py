@@ -109,16 +109,22 @@ def make_render_fn(model: NerfModel, chunk: int = 8192, mesh=None,
 
 def render_rays(render_fn, params, rays: np.ndarray, pad_to: int,
                 extra_params: Optional[dict] = None,
-                occupancy_grid=None
+                occupancy_grid=None, device_get: bool = True
                 ) -> Dict[str, Dict[str, np.ndarray]]:
-    """Render an arbitrary ray array, handling padding, returning numpy."""
+    """Render an arbitrary ray array, handling padding, returning numpy.
+
+    ``device_get=False`` returns device arrays WITHOUT blocking the host —
+    the async-val path: the caller keeps dispatching train steps and reads
+    the result back once the device has long finished it (trainer.fit).
+    """
     n = rays.shape[0]
     pad = (-n) % pad_to
     if pad:
         rays = np.concatenate([rays, np.repeat(rays[-1:], pad, axis=0)], 0)
     out = render_fn(params, jnp.asarray(rays), extra_params or {},
                     occupancy_grid)
-    out = jax.device_get(out)
+    if device_get:
+        out = jax.device_get(out)
     if pad:
         out = jax.tree.map(lambda x: x[:n], out)
     return out
@@ -142,7 +148,7 @@ class ImageRenderer:
 
     def __call__(self, params, rays: np.ndarray,
                  extra_params: Optional[dict] = None,
-                 occupancy_grid=None):
+                 occupancy_grid=None, device_get: bool = True):
         return render_rays(self._render_fn, params, rays,
                            self.chunk * self.n_shards, extra_params,
-                           occupancy_grid)
+                           occupancy_grid, device_get=device_get)

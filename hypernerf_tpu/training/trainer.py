@@ -145,8 +145,34 @@ class Trainer:
 
     # ------------------------------------------------------------------ val
 
-    def validate(self, step: int, log_images: bool = True) -> Dict[str, float]:
-        sample = self.val_dataset[0]
+    def _val_stats(self, out, rgbs):
+        """On-device val metrics + display tensors (jitted once).
+
+        Everything the host needs from a val render is computed on device —
+        the training loss over all levels, final-level PSNR, the prediction
+        quantized to uint8 (PNG-identical, 12x smaller over the tunnel than
+        the f32 per-level render dict) and the f32 depth for the JET viz.
+        """
+        typ = 'fine' if self.nerf_cfg.num_fine_samples > 0 else 'coarse'
+        pred = out[typ]['rgb']
+        # val/loss is the full coarse+fine training loss on the val image
+        # (reference train.py:171 / losses.py:9-14); val/psnr is final-level.
+        val_loss = loss_dict[self.train_cfg.loss_type](out, rgbs)
+        val_mse = jnp.mean((pred - rgbs) ** 2)
+        val_psnr = -10.0 * jnp.log10(val_mse)
+        from hypernerf_tpu.training.renderer import quantize_rgb_u8
+        return {'val/loss': val_loss, 'val/psnr': val_psnr,
+                'pred_u8': quantize_rgb_u8(pred), 'depth': out[typ]['depth']}
+
+    def _dispatch_val(self, step: int):
+        """Launch a val render WITHOUT blocking the host.
+
+        Returns (step, device-side stats). The render is queued behind the
+        already-dispatched train steps on the device stream and reads this
+        step's params before any later (donating) train step can overwrite
+        them — dispatch order alone makes the result correct; the host never
+        waits. ``_finish_val`` reads it back once it has long completed.
+        """
         params = forward_params(self.state.params)
         # Render with the SAME annealing alphas the train step uses at this
         # step — otherwise a mid-anneal model is validated with all bands on
@@ -155,36 +181,69 @@ class Trainer:
                                             step)
         # Grid-trained models validate through the same grid-guided coarse
         # distribution they train with (state.occupancy is None otherwise).
-        out = self.renderer(params, sample['rays'], extra_params,
-                            occupancy_grid=self.state.occupancy)
-        typ = 'fine' if 'fine' in out else 'coarse'
-        pred = out[typ]['rgb']
-        rgbs = sample['rgbs']
-        # val/loss is the full coarse+fine training loss on the val image
-        # (reference train.py:171 / losses.py:9-14); val/psnr is final-level.
-        val_loss = float(loss_dict[self.train_cfg.loss_type](out, rgbs))
-        val_mse = float(np.mean((pred - rgbs) ** 2))
-        val_psnr = -10.0 * np.log10(val_mse)
-        metrics = {'val/loss': val_loss, 'val/psnr': val_psnr}
+        out = self.renderer(params, self._val_rays, extra_params,
+                            occupancy_grid=self.state.occupancy,
+                            device_get=False)
+        if self._val_stats_fn is None:
+            self._val_stats_fn = jax.jit(self._val_stats)
+        return step, self._val_stats_fn(out, self._val_rgbs_dev)
+
+    def _finish_val(self, pending, log_images: bool = True
+                    ) -> Dict[str, float]:
+        """Read back + log a dispatched val render (the only blocking part)."""
+        step, stats = pending
+        stats = jax.device_get(stats)
+        metrics = {'val/loss': float(stats['val/loss']),
+                   'val/psnr': float(stats['val/psnr'])}
         if self.logger is not None:
             for k, v in metrics.items():
                 self.logger.add_scalar(k, v, step)
             if log_images:
                 w, h = self.train_cfg.img_wh
-                img = pred.reshape(h, w, 3)
-                img_gt = rgbs.reshape(h, w, 3)
-                depth = visualize_depth(out[typ]['depth'].reshape(h, w))
+                img = stats['pred_u8'].reshape(h, w, 3) / 255.0
+                img_gt = np.asarray(self._val_rgbs).reshape(h, w, 3)
+                depth = visualize_depth(stats['depth'].reshape(h, w))
                 self.logger.add_images(
                     'val/GT_pred_depth',
-                    np.stack([img_gt, np.clip(img, 0, 1), depth]), step)
+                    np.stack([img_gt, img, depth]), step)
         return metrics
+
+    @property
+    def _val_rays(self):
+        if not hasattr(self, '_val_sample'):
+            self._val_sample = self.val_dataset[0]
+            self._val_stats_fn = None
+            self._val_rgbs_dev = replicate(
+                self.mesh, jnp.asarray(self._val_sample['rgbs']))
+        return self._val_sample['rays']
+
+    @property
+    def _val_rgbs(self):
+        _ = self._val_rays
+        return self._val_sample['rgbs']
+
+    def validate(self, step: int, log_images: bool = True) -> Dict[str, float]:
+        """Synchronous val (tools / end-of-run); fit() uses the async pair."""
+        return self._finish_val(self._dispatch_val(step), log_images)
 
     # ---------------------------------------------------------------- train
 
     def fit(self, progress: bool = True):
+        """The training loop, written so the HOST NEVER WAITS on the device
+        inside the steady state: val renders are dispatched behind the
+        in-flight train steps and read back ~16 steps later (by which time
+        the device has finished them — the readback is pure tunnel latency,
+        overlapped with further dispatch), and per-log metric readbacks are
+        delayed one log interval the same way. The reference's Lightning
+        loop blocks on every val image and every logged scalar
+        (/root/reference/train.py:96-117, :155-161).
+        """
         cfg = self.train_cfg
         start_step = int(jax.device_get(self.state.step))
         val_every = max(1, int(self.steps_per_epoch * cfg.val_check_interval))
+        # Enough steps for the val render to drain through the device queue;
+        # small enough that the metrics land well before the next ckpt.
+        val_flush_delay = min(16, max(1, val_every - 1))
 
         if cfg.num_sanity_val_steps > 0 and start_step == 0:
             self.validate(step=0, log_images=True)
@@ -193,6 +252,45 @@ class Trainer:
         t0 = time.time()
         rays_done = 0
         last_metrics = {}
+        pending_val = None   # (step, device stats) flying behind the stream
+        pending_log = None   # (step, device metrics, rays/s), ditto
+
+        def flush_val():
+            nonlocal pending_val
+            if pending_val is None:
+                return
+            val_metrics = self._finish_val(pending_val)
+            last_metrics.update(val_metrics)
+            if progress:
+                print(f'  val psnr={val_metrics["val/psnr"]:.2f} '
+                      f'(step {pending_val[0]})', flush=True)
+            pending_val = None
+
+        def flush_log():
+            nonlocal pending_log
+            if pending_log is None:
+                return
+            log_step, dev_metrics, rays_per_sec = pending_log
+            m = jax.device_get(dev_metrics)
+            train_metrics = {
+                'train/loss': float(m['loss']),
+                'train/psnr': float(m['psnr']),
+                'train/rays_per_sec': rays_per_sec,
+                'lr': float(self.lr_schedule(log_step - 1)),
+            }
+            # update (not reassign): keep the latest val/ metrics so the
+            # checkpoint manifest always carries the last val/psnr.
+            last_metrics.update(train_metrics)
+            if self.logger is not None:
+                for k, v in train_metrics.items():
+                    self.logger.add_scalar(k, v, log_step)
+            if progress:
+                print(f'step {log_step}/{self.total_steps} '
+                      f'loss={train_metrics["train/loss"]:.5f} '
+                      f'psnr={train_metrics["train/psnr"]:.2f} '
+                      f'rays/s={rays_per_sec:,.0f}', flush=True)
+            pending_log = None
+
         for step in range(start_step, self.total_steps):
             # jax.profiler tracing window (the reference's PL profiler
             # equivalent, SURVEY.md §5): view with tensorboard --logdir.
@@ -212,44 +310,31 @@ class Trainer:
             rays_done += cfg.batch_size
 
             if (step + 1) % cfg.log_every == 0 or step + 1 == self.total_steps:
-                metrics = jax.device_get(metrics)
-                elapsed = time.time() - t0
-                rays_per_sec = rays_done / max(elapsed, 1e-9)
-                train_metrics = {
-                    'train/loss': float(metrics['loss']),
-                    'train/psnr': float(metrics['psnr']),
-                    'train/rays_per_sec': rays_per_sec,
-                    'lr': float(self.lr_schedule(step)),
-                }
-                # update (not reassign): keep the latest val/ metrics so the
-                # checkpoint manifest always carries the last val/psnr.
-                last_metrics.update(train_metrics)
-                if self.logger is not None:
-                    for k, v in train_metrics.items():
-                        self.logger.add_scalar(k, v, step + 1)
-                if progress:
-                    print(f'step {step + 1}/{self.total_steps} '
-                          f'loss={last_metrics["train/loss"]:.5f} '
-                          f'psnr={last_metrics["train/psnr"]:.2f} '
-                          f'rays/s={rays_per_sec:,.0f}', flush=True)
+                flush_log()  # the PREVIOUS interval's metrics — long ready
+                pending_log = (step + 1, metrics,
+                               rays_done / max(time.time() - t0, 1e-9))
+
+            # Flush a flying val once the device has certainly finished it.
+            if (pending_val is not None
+                    and step + 1 >= pending_val[0] + val_flush_delay):
+                flush_val()
 
             if (step + 1) % val_every == 0:
-                val_metrics = self.validate(step + 1)
-                last_metrics.update(val_metrics)
-                if progress:
-                    print(f'  val psnr={val_metrics["val/psnr"]:.2f}',
-                          flush=True)
+                flush_val()
+                pending_val = self._dispatch_val(step + 1)
 
             ckpt_every = cfg.ckpt_every_steps or self.steps_per_epoch
-            if ((step + 1) % ckpt_every == 0
-                    or step + 1 == self.total_steps) \
-                    and jax.process_index() == 0:
-                ckpt_lib.save_checkpoint(
-                    self.ckpt_dir, step + 1, jax.device_get(self.state),
-                    nerf_config=self.nerf_cfg, train_config=cfg,
-                    metrics={k: v for k, v in last_metrics.items()
-                             if k.startswith('val/')})
-                if cfg.ckpt_keep_top_k:
-                    ckpt_lib.prune_checkpoints(self.ckpt_dir,
-                                               cfg.ckpt_keep_top_k)
+            if (step + 1) % ckpt_every == 0 or step + 1 == self.total_steps:
+                flush_val()  # manifest must carry this step's val/psnr
+                if jax.process_index() == 0:
+                    ckpt_lib.save_checkpoint(
+                        self.ckpt_dir, step + 1, jax.device_get(self.state),
+                        nerf_config=self.nerf_cfg, train_config=cfg,
+                        metrics={k: v for k, v in last_metrics.items()
+                                 if k.startswith('val/')})
+                    if cfg.ckpt_keep_top_k:
+                        ckpt_lib.prune_checkpoints(self.ckpt_dir,
+                                                   cfg.ckpt_keep_top_k)
+        flush_log()
+        flush_val()
         return last_metrics

@@ -111,9 +111,9 @@ def test_trainer_validate_threads_anneal_alphas(tmp_path):
     captured = {}
     orig = trainer.renderer.__call__
 
-    def spy(params, rays, extra_params=None, occupancy_grid=None):
+    def spy(params, rays, extra_params=None, occupancy_grid=None, **kw):
         captured['extra_params'] = extra_params
-        return orig(params, rays, extra_params, occupancy_grid)
+        return orig(params, rays, extra_params, occupancy_grid, **kw)
 
     trainer.renderer = spy
     trainer.validate(step=50, log_images=False)
@@ -235,3 +235,33 @@ def test_trainer_rejects_out_of_range_metadata_ids(tmp_path, monkeypatch):
     import pytest
     with pytest.raises(ValueError, match='out of range'):
         Trainer(cfg, tc, mesh=create_mesh(num_devices=1))
+
+
+def test_async_val_survives_donating_train_steps(tmp_path):
+    """fit()'s async val: a val render DISPATCHED at step s, followed by
+    several train steps (which DONATE the state buffers), must read back
+    the same metrics a blocking validate at step s produced — device
+    dispatch order alone keeps the flying render's params intact."""
+    from tests.conftest import make_smooth_llff_scene, tiny_nerf_config
+    from hypernerf_tpu.parallel.mesh import create_mesh
+    from hypernerf_tpu.training.trainer import Trainer
+    scene = make_smooth_llff_scene(tmp_path / 'scene')
+    cfg = tiny_nerf_config(num_fine_samples=4, num_coarse_samples=4,
+                           noise_std=0.0)
+    tc = TrainConfig(root_dir=scene, dataset_name='llff', img_wh=(16, 12),
+                     batch_size=32, chunk=64, max_steps=1,
+                     num_sanity_val_steps=0, exp_name='async',
+                     ckpt_dir=str(tmp_path / 'c'), log_dir=str(tmp_path / 'l'))
+    trainer = Trainer(cfg, tc, mesh=create_mesh(num_devices=1))
+
+    blocking = trainer.validate(step=1, log_images=False)
+    pending = trainer._dispatch_val(step=1)
+    for _ in range(3):
+        trainer.state, _ = trainer.train_step(
+            trainer.state, trainer.all_rays, trainer.all_rgbs,
+            trainer.base_rng)
+    got = trainer._finish_val(pending, log_images=False)
+    np.testing.assert_allclose(got['val/psnr'], blocking['val/psnr'],
+                               rtol=1e-6)
+    np.testing.assert_allclose(got['val/loss'], blocking['val/loss'],
+                               rtol=1e-6)

@@ -139,6 +139,12 @@ def main():
     ap.add_argument('--peak_tflops', type=float, default=197.0)
     ap.add_argument('--config', default='flagship',
                     choices=['flagship', 'se3', 'anneal', 'elastic'])
+    ap.add_argument('--pipelined_fwd', type=int, choices=(0, 1),
+                    default=None,
+                    help='override NerfConfig.pallas_pipelined_fwd')
+    ap.add_argument('--pipelined_bwd', type=int, choices=(0, 1),
+                    default=None,
+                    help='override NerfConfig.pallas_pipelined_bwd')
     ap.add_argument('--trace_dir', default=None)
     args = ap.parse_args()
 
@@ -171,6 +177,10 @@ def main():
     if args.config == 'elastic':
         kw['elastic_jacobian_samples'] = 16
         elastic_w = 0.01
+    if args.pipelined_fwd is not None:
+        kw['pallas_pipelined_fwd'] = bool(args.pipelined_fwd)
+    if args.pipelined_bwd is not None:
+        kw['pallas_pipelined_bwd'] = bool(args.pipelined_bwd)
     cfg = NerfConfig(**kw)
     train_cfg = TrainConfig(batch_size=batch_size, lr=5e-4,
                             elastic_loss_weight=elastic_w)
