@@ -111,7 +111,11 @@ class NerfConfig:
     # anneal variants parity-checked on device and in interpret tests).
     pallas_pipelined_bwd: bool = True
     # Same pipelining for the level forward (fields tile i interleaved
-    # with template tile i-1).
+    # with template tile i-1). Default off: measured ~neutral (+0.4%
+    # step) because BOTH forward streams stall on the same resource (the
+    # per-layer f32 epilogue VPU work), unlike the backward pair whose
+    # mixes are complementary — root-caused with per-kernel A/B in
+    # BENCHMARKS.md "Pipelined FORWARD: measured root cause".
     pallas_pipelined_fwd: bool = False
     # Elastic-loss Jacobian subsampling: with K > 0 the fused-path warp
     # Jacobian is evaluated at only K points per ray, drawn proportional to

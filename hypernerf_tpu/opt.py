@@ -40,7 +40,10 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     parser.add_argument('--N_samples', type=int, default=64,
                         help='number of coarse samples')
     parser.add_argument('--N_importance', type=int, default=128,
-                        help='number of additional fine samples')
+                        help='number of additional fine samples (any value '
+                             'rides the in-kernel hierarchical sampling on '
+                             'TPU; non-power-of-two coarse+fine totals use '
+                             'a sentinel-padded union merge)')
     parser.add_argument('--use_disp', default=False, action='store_true',
                         help='use disparity depth sampling')
     parser.add_argument('--perturb', type=float, default=1.0,
