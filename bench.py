@@ -123,6 +123,10 @@ def main():
     parser.add_argument('--pipelined_fwd', type=int, choices=(0, 1),
                         default=None,
                         help='override NerfConfig.pallas_pipelined_fwd')
+    parser.add_argument('--interleaved_fwd', type=int, choices=(0, 1),
+                        default=None,
+                        help='override NerfConfig.pallas_interleaved_fwd '
+                             '(half-tile interleaved level forward)')
     parser.add_argument('--bwd_tile', type=int, default=None,
                         help='override NerfConfig.pallas_bwd_tile')
     parser.add_argument('--fwd_tile', type=int, default=None,
@@ -166,6 +170,8 @@ def main():
         cfg_kwargs['pallas_pipelined_bwd'] = bool(args.pipelined_bwd)
     if args.pipelined_fwd is not None:
         cfg_kwargs['pallas_pipelined_fwd'] = bool(args.pipelined_fwd)
+    if args.interleaved_fwd is not None:
+        cfg_kwargs['pallas_interleaved_fwd'] = bool(args.interleaved_fwd)
     if args.bwd_tile is not None:
         cfg_kwargs['pallas_bwd_tile'] = args.bwd_tile
     if args.fwd_tile is not None:

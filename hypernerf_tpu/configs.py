@@ -117,6 +117,13 @@ class NerfConfig:
     # mixes are complementary — root-caused with per-kernel A/B in
     # BENCHMARKS.md "Pipelined FORWARD: measured root cause".
     pallas_pipelined_fwd: bool = False
+    # Half-tile interleaved level forward: each grid step runs TWO
+    # independent half-tile streams (fields + template each) alternated
+    # op-group by op-group. Symmetric streams, so one half's matmul issues
+    # while the other sits in its f32 epilogue — the lever pallas_pipelined
+    # _fwd couldn't pull (its fields stream is too small to cover the
+    # template's VPU slots). Bit-identical numerics (row-blocked matmuls).
+    pallas_interleaved_fwd: bool = False
     # Elastic-loss Jacobian subsampling: with K > 0 the fused-path warp
     # Jacobian is evaluated at only K points per ray, drawn proportional to
     # the rendering weights (an unbiased importance estimator of the

@@ -351,6 +351,7 @@ class NerfModel(nn.Module):
             cond_samples=cond_samples,
             pipelined_bwd=cfg.pallas_pipelined_bwd,
             pipelined_fwd=cfg.pallas_pipelined_fwd,
+            interleaved_fwd=cfg.pallas_interleaved_fwd,
             interpret=cfg.pallas_interpret)
         tmpl_scales = None
         if not cfg.use_original_embed:
@@ -647,6 +648,29 @@ class NerfModel(nn.Module):
             w_sum = jnp.sum(out['weights'], axis=-1, keepdims=True)
             out['warp_jacobian_weights'] = jnp.broadcast_to(
                 w_sum / k, idx.shape)
+        if (cfg.warp_field_type == 'translation'
+                and (jax.default_backend() == 'tpu'
+                     or cfg.pallas_interpret)):
+            # Fused path: stacked forward-mode tangents through the warp
+            # MLP in one Pallas kernel (ops/pallas/fused_jacobian.py) —
+            # replaces the dense 3-pullback side channel that held
+            # elastic mode at 0.80x the flagship. Exact-gradient parity
+            # vs the dense path: tests/test_fused_jacobian.py.
+            from hypernerf_tpu.ops.pallas.fused_field import (
+                FusedFieldSpec, mlp_params_to_list)
+            from hypernerf_tpu.ops.pallas.fused_jacobian import (
+                fused_warp_jacobian)
+            jac_spec = FusedFieldSpec(
+                segments=((3, cfg.warp_freq), (cfg.glo_dim, 0)),
+                depth=cfg.warp_depth, width=cfg.warp_width, out_ch=3,
+                skips=cfg.skips, tile=min(cfg.pallas_tile, 512),
+                compute_dtype=cfg.compute_dtype,
+                interpret=cfg.pallas_interpret)
+            out['warp_jacobian'] = fused_warp_jacobian(
+                jac_spec, points, embed_b,
+                mlp_params_to_list(
+                    self.warp_field.variables['params']['mlp']))
+            return
         out['warp_jacobian'] = _warp_jacobian(
             lambda p: self.warp_field.warp(
                 p, embed_b, extra_params, allow_pallas=False), points)

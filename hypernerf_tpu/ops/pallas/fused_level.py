@@ -123,6 +123,16 @@ class FusedLevelSpec(NamedTuple):
     # Same pipelining for the forward: fields fwd of tile i interleaved
     # with the template fwd of tile i-1, raw_t carried in VMEM scratch.
     pipelined_fwd: bool = False
+    # Half-tile interleaved forward: each grid step splits its tile into
+    # two independent halves and alternates their WHOLE level streams
+    # (fields + template) op-group by op-group. Unlike pipelined_fwd
+    # (which pairs the small fields stream with the big template stream —
+    # measured ~neutral, BENCHMARKS.md round 4), the two streams here are
+    # symmetric: while half A sits in a matmul's f32 epilogue (VPU), half
+    # B's next matmul issues on the MXU. Row-blocked matmuls are
+    # bit-identical to the full-tile forward. Ignored when pipelined_fwd
+    # is set.
+    interleaved_fwd: bool = False
 
     @property
     def warp_fs(self):
@@ -433,12 +443,46 @@ def _fields_bwd_core_gen(spec: FusedLevelSpec, x_raw, dx_t, warp_wbs,
     return d_pts, d_emb, w_grads + h_grads
 
 
+def _level_fwd_gen(spec: FusedLevelSpec, x_raw, rgbc, alphac, warp_wbs,
+                   hyper_wbs, tmpl_wbs, warp_scales, tmpl_scales):
+    """The whole level forward (fields + template) on one row block, as a
+    generator yielding at op-group boundaries (see common.interleave)."""
+    raw_t = yield from _fields_fwd_core_gen(spec, x_raw, warp_wbs, hyper_wbs,
+                                            warp_scales)
+    rgb, alpha, _ = yield from fm._forward_tile_gen(
+        spec.tmpl_fs, raw_t, rgbc, alphac, tmpl_wbs, enc_scales=tmpl_scales)
+    return rgb, alpha, raw_t
+
+
 def _forward_values(spec: FusedLevelSpec, x_raw, rgbc, alphac, wbs,
                     warp_scales=None, tmpl_scales=None):
     """The fused chain on one tile; returns (rgb, alpha) raw fp32 heads."""
-    from hypernerf_tpu.ops.pallas.common import drive
+    from hypernerf_tpu.ops.pallas.common import drive, interleave
     s = spec
     warp_wbs, hyper_wbs, tmpl_wbs = _split_wbs(s, wbs)
+    if s.interleaved_fwd:
+        # Two independent half-tile streams alternated in program order:
+        # each half's dependent matmul->f32-epilogue chain fills the
+        # other's MXU idle slots. Row-blocked matmuls make the halves'
+        # concatenation bit-identical to the sequential full tile.
+        t = x_raw.shape[0]
+        h = t // 2
+        # Mosaic sublane slices need 8-row alignment; the interpreter
+        # (CPU tests at tiny tiles) has no such constraint.
+        assert s.interpret or h % 8 == 0, (
+            t, 'interleaved_fwd needs 16-row-aligned tiles')
+
+        def half(lo, hi):
+            return _level_fwd_gen(
+                s, x_raw[lo:hi], rgbc[lo:hi],
+                None if alphac is None else alphac[lo:hi],
+                warp_wbs, hyper_wbs, tmpl_wbs, warp_scales, tmpl_scales)
+
+        res_a, res_b = interleave(half(0, h), half(h, t))
+        rgb = jnp.concatenate([res_a[0], res_b[0]], axis=0)
+        alpha = jnp.concatenate([res_a[1], res_b[1]], axis=0)
+        raw_t = jnp.concatenate([res_a[2], res_b[2]], axis=0)
+        return rgb, alpha, raw_t
     raw_t = drive(_fields_fwd_core_gen(s, x_raw, warp_wbs, hyper_wbs,
                                        warp_scales))
     rgb, alpha, _ = fm._forward_tile(s.tmpl_fs, raw_t, rgbc, alphac, tmpl_wbs,

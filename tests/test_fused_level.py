@@ -432,6 +432,58 @@ def test_fused_level_pipelined_forward_matches_standard():
                                   np.asarray(base['alpha']))
 
 
+def test_fused_level_interleaved_forward_matches_standard():
+    """The half-tile interleaved forward (two independent half-tile streams
+    alternated op-group by op-group) is bit-equal to the standard fused
+    forward: row-blocked matmuls, each stream's internal order unchanged."""
+    pts, embed, rgbc, wm, hm, tm = _setup(seed=23)
+    wp_l = mlp_params_to_list(wm[1]['mlp'])
+    hp_l = mlp_params_to_list(hm[1]['mlp'])
+    tp_l = nerf_mlp_params_to_list(tm[1])
+    emb_flat = jnp.broadcast_to(embed[:, None, :], (B, S, E)).reshape(-1, E)
+    rgbc_flat = jnp.broadcast_to(rgbc[:, None, :], (B, S, 11)).reshape(-1, 11)
+
+    def run(spec):
+        return fused_level(spec, pts.reshape(-1, 3), emb_flat, rgbc_flat,
+                           None, wp_l, hp_l, tp_l)
+
+    base = run(SPEC)
+    inter = run(SPEC._replace(interleaved_fwd=True))
+    np.testing.assert_array_equal(np.asarray(inter['rgb']),
+                                  np.asarray(base['rgb']))
+    np.testing.assert_array_equal(np.asarray(inter['alpha']),
+                                  np.asarray(base['alpha']))
+
+
+def test_fused_level_interleaved_fwd_grads_match():
+    """interleaved_fwd composes with the pipelined backward: the saved raw_t
+    residual (concatenated halves) and the whole gradient are unchanged."""
+    pts, embed, rgbc, (warp, wp0), (hyper, hp0), (tmpl, tp0) = _setup(seed=5)
+    wp_l = mlp_params_to_list(wp0['mlp'])
+    hp_l = mlp_params_to_list(hp0['mlp'])
+    tp_l = nerf_mlp_params_to_list(tp0)
+    tgt = jnp.asarray(np.random.RandomState(3).randn(B, S, 3), jnp.float32)
+
+    def loss(spec, wp_l, hp_l, tp_l, pts, embed):
+        emb_flat = jnp.broadcast_to(embed[:, None, :],
+                                    (B, S, E)).reshape(-1, E)
+        rgbc_flat = jnp.broadcast_to(rgbc[:, None, :],
+                                     (B, S, 11)).reshape(-1, 11)
+        out = fused_level(spec, pts.reshape(-1, 3), emb_flat, rgbc_flat,
+                          None, wp_l, hp_l, tp_l)
+        return (jnp.mean((out['rgb'].reshape(B, S, 3) - tgt) ** 2)
+                + jnp.mean(out['alpha'] ** 2))
+
+    args = (wp_l, hp_l, tp_l, pts, embed)
+    nums = (0, 1, 2, 3, 4)
+    g_base = jax.grad(lambda *a: loss(SPEC, *a), argnums=nums)(*args)
+    spec_i = SPEC._replace(interleaved_fwd=True, pipelined_bwd=True)
+    g_inter = jax.grad(lambda *a: loss(spec_i, *a), argnums=nums)(*args)
+    for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_inter)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_fused_level_fully_pipelined_grads_match_split():
     """pipelined_fwd + pipelined_bwd together: the saved raw_t residual and
     the whole gradient agree with the split path."""
