@@ -622,7 +622,7 @@ class NerfModel(nn.Module):
     # ---------------------------------------------------------------- rendering
 
     def _warp_jacobian_side_channel(self, out, points, warp_embed,
-                                    extra_params, batch_shape):
+                                    extra_params):
         """Attach the elastic-loss warp Jacobian to a fused-path result.
 
         With ``config.elastic_jacobian_samples`` K > 0, the Jacobian is
@@ -636,18 +636,23 @@ class NerfModel(nn.Module):
         """
         cfg = self.config
         from hypernerf_tpu.models.warping import _warp_jacobian
-        embed_b = jnp.broadcast_to(
-            warp_embed[..., None, :], (*batch_shape, warp_embed.shape[-1]))
         k = cfg.elastic_jacobian_samples
         if k > 0 and self.has_rng('sampling'):
             from hypernerf_tpu.ops.sampling import weighted_sample_indices
             w = jax.lax.stop_gradient(out['weights'])
             idx = weighted_sample_indices(self.make_rng('sampling'), w, k)
             points = jnp.take_along_axis(points, idx[..., None], axis=-2)
-            embed_b = jnp.take_along_axis(embed_b, idx[..., None], axis=-2)
             w_sum = jnp.sum(out['weights'], axis=-1, keepdims=True)
             out['warp_jacobian_weights'] = jnp.broadcast_to(
                 w_sum / k, idx.shape)
+        # The embed is constant across a ray's samples, so build it by
+        # broadcast AFTER the subsample instead of gathering a broadcast:
+        # the gather's backward was a 5.3 ms/level scatter-add on TPU
+        # (profile, BENCHMARKS round 4); the broadcast's backward is a
+        # cheap reduce over K. Same values either way.
+        embed_b = jnp.broadcast_to(
+            warp_embed[..., None, :],
+            (*points.shape[:-1], warp_embed.shape[-1]))
         if (cfg.warp_field_type == 'translation'
                 and (jax.default_backend() == 'tpu'
                      or cfg.pallas_interpret)):
@@ -666,8 +671,12 @@ class NerfModel(nn.Module):
                 skips=cfg.skips, tile=min(cfg.pallas_tile, 512),
                 compute_dtype=cfg.compute_dtype,
                 interpret=cfg.pallas_interpret)
+            # d(embed) through a relu-MLP Jacobian is EXACTLY zero a.e.
+            # (asserted in tests/test_fused_jacobian.py), and d(points) is
+            # dead upstream (z draws are stop-gradient, ops/sampling.py) —
+            # stop the embed so XLA prunes the whole cotangent plumbing.
             out['warp_jacobian'] = fused_warp_jacobian(
-                jac_spec, points, embed_b,
+                jac_spec, points, jax.lax.stop_gradient(embed_b),
                 mlp_params_to_list(
                     self.warp_field.variables['params']['mlp']))
             return
@@ -747,7 +756,7 @@ class NerfModel(nn.Module):
                     # alternative (rendering the whole level densely
                     # whenever the Jacobian is wanted) costs ~5x the step.
                     self._warp_jacobian_side_channel(
-                        out, points, warp_embed, extra_params, batch_shape)
+                        out, points, warp_embed, extra_params)
                 return out
 
         # Broadcast per-ray embeddings across samples.

@@ -203,6 +203,60 @@ def main():
                                             pallas_pipelined_fwd=True))],
             check_grads=True)
 
+    # Fused warp-Jacobian kernel (ops/pallas/fused_jacobian.py) vs the dense
+    # batched-VJP path — the elastic regularizer's side channel. Checked
+    # standalone (the side channel is additive to the render): forward J and
+    # d(loss(J))/d(params, points), f32 compute for a tight bound, then the
+    # production bf16 compute at bf16 tolerance.
+    from hypernerf_tpu.models.warping import TranslationField, _warp_jacobian
+    from hypernerf_tpu.ops.pallas.fused_field import (FusedFieldSpec,
+                                                      mlp_params_to_list)
+    from hypernerf_tpu.ops.pallas.fused_jacobian import fused_warp_jacobian
+
+    jn = 2048
+    jpts = jnp.asarray(rs.randn(jn, 3).astype(np.float32) * 0.3)
+    jemb = jnp.asarray(rs.randn(jn, 8).astype(np.float32) * 0.2)
+    jwarp = TranslationField(depth=6, width=128, n_freq=8, skips=(4,))
+    jwp = jwarp.init(jax.random.PRNGKey(1), jpts, jemb)['params']
+
+    def dense_jac(wp, pts):
+        return _warp_jacobian(
+            lambda p: jwarp.apply({'params': wp}, p, jemb,
+                                  method=jwarp.warp, allow_pallas=False), pts)
+
+    for dt, ftol, gtol in (('float32', 2e-4, 2e-3), ('bfloat16', 0.05, 0.2)):
+        jspec = FusedFieldSpec(segments=((3, 8), (8, 0)), depth=6, width=128,
+                               out_ch=3, skips=(4,), tile=512,
+                               compute_dtype=dt)
+
+        def fused_jac(wp, pts):
+            return fused_warp_jacobian(jspec, pts, jemb,
+                                       mlp_params_to_list(wp['mlp']))
+
+        jref = np.asarray(jax.device_get(jax.jit(dense_jac)(jwp, jpts)))
+        jgot = np.asarray(jax.device_get(jax.jit(fused_jac)(jwp, jpts)))
+        jerr = np.abs(jgot - jref).max()
+
+        def jloss(fn):
+            def f(wp, pts):
+                j = fn(wp, pts)
+                return jnp.mean(j ** 2) + jnp.mean(jnp.abs(j))
+            return f
+
+        gref = jax.jit(jax.grad(jloss(dense_jac), argnums=(0, 1)))(jwp, jpts)
+        ggot = jax.jit(jax.grad(jloss(fused_jac), argnums=(0, 1)))(jwp, jpts)
+        gref_f = np.asarray(jax.device_get(jnp.concatenate(
+            [g.reshape(-1) for g in jax.tree_util.tree_leaves(gref)])))
+        ggot_f = np.asarray(jax.device_get(jnp.concatenate(
+            [g.reshape(-1) for g in jax.tree_util.tree_leaves(ggot)])))
+        gerr = np.abs(ggot_f - gref_f).max()
+        gscale = max(np.abs(gref_f).max(), 1e-8)
+        ok = jerr < ftol and gerr < gtol * gscale
+        print(f'[jacobian @{dt}] max |dJ| = {jerr:.2e}'
+              f'  max |dgrad| = {gerr:.3e} (ref max {gscale:.3e})'
+              + ('  OK' if ok else '  FAIL'), flush=True)
+        failures += 0 if ok else 1
+
     sys.exit(1 if failures else 0)
 
 
