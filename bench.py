@@ -127,6 +127,10 @@ def main():
                         default=None,
                         help='override NerfConfig.pallas_interleaved_fwd '
                              '(half-tile interleaved level forward)')
+    parser.add_argument('--bf16_epilogue', type=int, choices=(0, 1),
+                        default=None,
+                        help='override NerfConfig.pallas_bf16_epilogue '
+                             '(hidden-layer bias+relu in bf16)')
     parser.add_argument('--bwd_tile', type=int, default=None,
                         help='override NerfConfig.pallas_bwd_tile')
     parser.add_argument('--fwd_tile', type=int, default=None,
@@ -172,6 +176,8 @@ def main():
         cfg_kwargs['pallas_pipelined_fwd'] = bool(args.pipelined_fwd)
     if args.interleaved_fwd is not None:
         cfg_kwargs['pallas_interleaved_fwd'] = bool(args.interleaved_fwd)
+    if args.bf16_epilogue is not None:
+        cfg_kwargs['pallas_bf16_epilogue'] = bool(args.bf16_epilogue)
     if args.bwd_tile is not None:
         cfg_kwargs['pallas_bwd_tile'] = args.bwd_tile
     if args.fwd_tile is not None:

@@ -124,6 +124,13 @@ class NerfConfig:
     # _fwd couldn't pull (its fields stream is too small to cover the
     # template's VPU slots). Bit-identical numerics (row-blocked matmuls).
     pallas_interleaved_fwd: bool = False
+    # Run the fused kernels' hidden-layer epilogues (bias+relu) in the
+    # compute dtype instead of fp32. At bf16 the f32 add/max/convert trio
+    # costs ~one matmul-time per 256-wide layer on the VPU — the measured
+    # forward roof (BENCHMARKS.md round 4); this trades it for one convert
+    # plus two half-width ops at the cost of one bias rounding per layer.
+    # Exact no-op at compute_dtype float32.
+    pallas_bf16_epilogue: bool = False
     # Elastic-loss Jacobian subsampling: with K > 0 the fused-path warp
     # Jacobian is evaluated at only K points per ray, drawn proportional to
     # the rendering weights (an unbiased importance estimator of the

@@ -352,6 +352,7 @@ class NerfModel(nn.Module):
             pipelined_bwd=cfg.pallas_pipelined_bwd,
             pipelined_fwd=cfg.pallas_pipelined_fwd,
             interleaved_fwd=cfg.pallas_interleaved_fwd,
+            bf16_epilogue=cfg.pallas_bf16_epilogue,
             interpret=cfg.pallas_interpret)
         tmpl_scales = None
         if not cfg.use_original_embed:

@@ -81,6 +81,9 @@ class FusedFieldSpec(NamedTuple):
     bwd_tile: int = 0
     # Take a (1, enc_pad) per-feature scale row (the annealing window).
     windowed: bool = False
+    # Hidden-layer epilogues (bias+relu) in the compute dtype instead of
+    # fp32 (see fused_mlp.FusedMLPSpec.bf16_epilogue).
+    bf16_epilogue: bool = False
 
     @property
     def raw_ch(self) -> int:
@@ -340,7 +343,7 @@ def _forward_tile_gen(spec: FusedFieldSpec, x_raw, wbs, scales=None,
         w, b = wbs[i]
         ins.append(h)
         from hypernerf_tpu.ops.pallas.fused_mlp import _dot_act
-        h = _dot_act(h, w, b, dt)
+        h = _dot_act(h, w, b, dt, epi_in_dt=spec.bf16_epilogue)
         yield
         outs.append(h)
         if i in spec.skips:

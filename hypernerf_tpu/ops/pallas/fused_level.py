@@ -133,6 +133,9 @@ class FusedLevelSpec(NamedTuple):
     # bit-identical to the full-tile forward. Ignored when pipelined_fwd
     # is set.
     interleaved_fwd: bool = False
+    # Hidden-layer epilogues (bias+relu) in the compute dtype instead of
+    # fp32 across all three sub-kernels (see fused_mlp.FusedMLPSpec).
+    bf16_epilogue: bool = False
 
     @property
     def warp_fs(self):
@@ -142,11 +145,13 @@ class FusedLevelSpec(NamedTuple):
                 min_deg=self.se3_min_deg, max_deg=self.se3_max_deg,
                 depth=self.warp_depth, width=self.warp_width,
                 skips=self.skips, compute_dtype=self.compute_dtype,
-                windowed=self.warp_windowed)
+                windowed=self.warp_windowed,
+                bf16_epilogue=self.bf16_epilogue)
         return ff.FusedFieldSpec(
             segments=((3, self.warp_freq), (self.embed_ch, 0)),
             depth=self.warp_depth, width=self.warp_width, out_ch=3,
-            skips=self.skips, compute_dtype=self.compute_dtype)
+            skips=self.skips, compute_dtype=self.compute_dtype,
+            bf16_epilogue=self.bf16_epilogue)
 
     @property
     def hyper_fs(self) -> 'ff.FusedFieldSpec':
@@ -154,7 +159,8 @@ class FusedLevelSpec(NamedTuple):
             segments=((3, self.hyper_sheet_freq), (self.embed_ch, 0)),
             depth=self.hyper_depth, width=self.hyper_width,
             out_ch=self.hyper_out, skips=self.skips,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            bf16_epilogue=self.bf16_epilogue)
 
     @property
     def tmpl_enc_segments(self) -> tuple:
@@ -179,7 +185,8 @@ class FusedLevelSpec(NamedTuple):
             interpret=self.interpret,
             enc_segments=self.tmpl_enc_segments,
             windowed=not self.use_original_embed,
-            cond_samples=self.cond_samples)
+            cond_samples=self.cond_samples,
+            bf16_epilogue=self.bf16_epilogue)
 
     @property
     def emb_pad(self):

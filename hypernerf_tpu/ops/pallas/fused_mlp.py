@@ -81,6 +81,14 @@ class FusedMLPSpec(NamedTuple):
     # ray's samples). Kills the (P, C) HBM broadcast the caller would
     # otherwise materialize. Requires tile % cond_samples == 0.
     cond_samples: int = 0
+    # Run the hidden-layer epilogues (bias+relu) in the compute dtype
+    # instead of fp32: the f32 add/max/convert trio costs ~one matmul-time
+    # per 256-wide layer on the VPU (the forward's measured roof,
+    # BENCHMARKS.md round 4); bf16 drops it to one f32->bf16 convert plus
+    # two half-width ops. Changes bf16 numerics by one bias rounding per
+    # layer (biases are already stored bf16 in VMEM); exact no-op at
+    # compute_dtype float32.
+    bf16_epilogue: bool = False
 
     @property
     def in_pad(self):
@@ -223,16 +231,27 @@ def _dot(a, w):
                                preferred_element_type=jnp.float32)
 
 
-def _dot_act(h, w, b, dt, relu: bool = True):
+def _dot_act(h, w, b, dt, relu: bool = True, epi_in_dt: bool = False):
     """Hidden layer: [relu](h @ w + b) rounded to the compute dtype.
 
     fp32 accumulation throughout: Mosaic requires a 32-bit matmul
     accumulator ('Expected matmul acc to be 32-bit' when asked for a bf16
-    output), so the bias-add/relu run in fp32 and round once at the end —
-    the same semantics the kernels always had.
+    output), so by default the bias-add/relu run in fp32 and round once at
+    the end — the same semantics the kernels always had.
+
+    With ``epi_in_dt`` (spec.bf16_epilogue) the accumulator rounds to the
+    compute dtype FIRST and bias+relu run there: relu commutes with
+    round-to-nearest (sign-preserving), so the only numeric change is the
+    bias add seeing a pre-rounded activation — and none at all when the
+    compute dtype is float32.
     """
     out = jax.lax.dot_general(h, w, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
+    if epi_in_dt:
+        out = out.astype(dt) + b.astype(dt)
+        if relu:
+            out = jnp.maximum(out, jnp.zeros((), dt))
+        return out
     out = out + b.astype(jnp.float32)
     if relu:
         out = jnp.maximum(out, 0.0)
@@ -321,18 +340,19 @@ def _forward_tile_gen(spec: FusedMLPSpec, x, rgbc, alphac, wbs,
     for i in range(s.trunk_depth):
         w, b = wbs[idx]; idx += 1
         stash['trunk_ins'].append(h)
-        h = _dot_act(h, w, b, bf)
+        h = _dot_act(h, w, b, bf, epi_in_dt=s.bf16_epilogue)
         yield
         stash['trunk_outs'].append(h)
         if i in s.skips:
             h = jnp.concatenate([h, x], axis=-1)
     w, b = wbs[idx]; idx += 1
     stash['tl_in'] = h
-    hl = _dot_act(h, w, b, bf)
+    hl = _dot_act(h, w, b, bf, epi_in_dt=s.bf16_epilogue)
     yield
     stash['hl'] = hl
     w, b = wbs[idx]; idx += 1
-    bneck = _dot_act(hl, w, b, bf, relu=False)
+    bneck = _dot_act(hl, w, b, bf, relu=False,
+                     epi_in_dt=s.bf16_epilogue)
     yield
     stash['bneck'] = bneck
 
@@ -348,7 +368,7 @@ def _forward_tile_gen(spec: FusedMLPSpec, x, rgbc, alphac, wbs,
     for j in range(s.rgb_depth):
         w, b = wbs[idx]; idx += 1
         stash['rgb_ins'].append(g)
-        g = _dot_act(g, w, b, bf)
+        g = _dot_act(g, w, b, bf, epi_in_dt=s.bf16_epilogue)
         yield
         stash['rgb_outs'].append(g)
         if j in s.skips:

@@ -50,6 +50,9 @@ class FusedSE3Spec(NamedTuple):
     # Take a (1, enc_pad) per-feature window row (the warp_alpha annealing;
     # build with fused_field.encoding_scales over ``enc_segments``).
     windowed: bool = False
+    # Hidden-layer epilogues (bias+relu) in the compute dtype instead of
+    # fp32 (see fused_mlp.FusedMLPSpec.bf16_epilogue).
+    bf16_epilogue: bool = False
 
     @property
     def n_freq(self) -> int:
@@ -206,7 +209,7 @@ def _forward_tile_gen(spec: FusedSE3Spec, x_raw, wbs, scales=None):
         w, b = wbs[i]
         ins.append(h)
         from hypernerf_tpu.ops.pallas.fused_mlp import _dot_act
-        h = _dot_act(h, w, b, dt)
+        h = _dot_act(h, w, b, dt, epi_in_dt=s.bf16_epilogue)
         yield
         outs.append(h)
         if i in s.skips:
@@ -214,7 +217,7 @@ def _forward_tile_gen(spec: FusedSE3Spec, x_raw, wbs, scales=None):
     w, b = wbs[s.depth]
     logit_in = h
     from hypernerf_tpu.ops.pallas.fused_mlp import _dot_act
-    trunk = _dot_act(h, w, b, dt, relu=False)  # no activation
+    trunk = _dot_act(h, w, b, dt, relu=False, epi_in_dt=s.bf16_epilogue)
     yield
     w_w, w_b = wbs[s.depth + 1]
     v_w, v_b = wbs[s.depth + 2]

@@ -540,3 +540,68 @@ def test_fused_level_single_kernel_backward_matches_split():
     for (a, _), (b, _) in zip(g_split[0], g_one[0]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_fused_level_bf16_epilogue_noop_at_f32():
+    """bf16_epilogue is an exact no-op at compute_dtype float32: the
+    epilogue runs in the compute dtype, which IS fp32 — same values and
+    same gradients bit-for-bit."""
+    pts, embed, rgbc, wm, hm, tm = _setup(seed=11)
+    wp_l = mlp_params_to_list(wm[1]['mlp'])
+    hp_l = mlp_params_to_list(hm[1]['mlp'])
+    tp_l = nerf_mlp_params_to_list(tm[1])
+    emb_flat = jnp.broadcast_to(embed[:, None, :], (B, S, E)).reshape(-1, E)
+    rgbc_flat = jnp.broadcast_to(rgbc[:, None, :], (B, S, 11)).reshape(-1, 11)
+
+    def loss(spec, wp_l, hp_l, tp_l):
+        out = fused_level(spec, pts.reshape(-1, 3), emb_flat, rgbc_flat,
+                          None, wp_l, hp_l, tp_l)
+        return jnp.mean(out['rgb'] ** 2) + jnp.mean(out['alpha'] ** 2)
+
+    spec_e = SPEC._replace(bf16_epilogue=True)
+    v0, g0 = jax.value_and_grad(
+        lambda *a: loss(SPEC, *a), argnums=(0, 1, 2))(wp_l, hp_l, tp_l)
+    v1, g1 = jax.value_and_grad(
+        lambda *a: loss(spec_e, *a), argnums=(0, 1, 2))(wp_l, hp_l, tp_l)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_level_bf16_epilogue_close_at_bf16():
+    """At bf16 compute the flag changes only the bias-add rounding: one
+    extra bf16 round per hidden layer. Forward and grads stay within bf16
+    tolerance of the fp32-epilogue bf16 kernel."""
+    pts, embed, rgbc, wm, hm, tm = _setup(seed=13)
+    wp_l = mlp_params_to_list(wm[1]['mlp'])
+    hp_l = mlp_params_to_list(hm[1]['mlp'])
+    tp_l = nerf_mlp_params_to_list(tm[1])
+    emb_flat = jnp.broadcast_to(embed[:, None, :], (B, S, E)).reshape(-1, E)
+    rgbc_flat = jnp.broadcast_to(rgbc[:, None, :], (B, S, 11)).reshape(-1, 11)
+    base = SPEC._replace(compute_dtype='bfloat16')
+
+    def run(spec):
+        return fused_level(spec, pts.reshape(-1, 3), emb_flat, rgbc_flat,
+                           None, wp_l, hp_l, tp_l)
+
+    r0 = run(base)
+    r1 = run(base._replace(bf16_epilogue=True))
+    np.testing.assert_allclose(np.asarray(r1['rgb']), np.asarray(r0['rgb']),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(r1['alpha']),
+                               np.asarray(r0['alpha']),
+                               rtol=0.05, atol=0.05)
+
+    def loss(spec, wp_l, hp_l, tp_l):
+        out = run(spec)
+        return jnp.mean(out['rgb'] ** 2) + jnp.mean(out['alpha'] ** 2)
+
+    g0 = jax.grad(lambda *a: loss(base, *a), argnums=(0, 1, 2))(
+        wp_l, hp_l, tp_l)
+    g1 = jax.grad(
+        lambda *a: loss(base._replace(bf16_epilogue=True), *a),
+        argnums=(0, 1, 2))(wp_l, hp_l, tp_l)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(b - a).max() < 0.08 * scale + 1e-6
