@@ -121,7 +121,11 @@ def _tangent_encode_bwd(spec: ff.FusedFieldSpec, t: int, sin_xb, cos_xb,
     # Remaining factor: -trig * 2^j (one more band power), contract j -> c.
     freq_row = jnp.sum(fm, axis=0)                     # (nb,): 2^j per col
     val = (-sin_xb * a_sin - cos_xb * a_cos) * freq_row[None, :]
+    # Selection matmul: val carries 4^j-scaled terms, so the band -> channel
+    # contraction must not round through bf16 (f32 operands, so Mosaic
+    # accepts HIGHEST — the repo convention for iota-built selections).
     return jax.lax.dot_general(val, sel, (((1,), (1,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
 
 
@@ -136,11 +140,12 @@ def _jac_fwd_tile(spec: ff.FusedFieldSpec, x_raw, wbs):
     sin_xb, cos_xb = trig[0]
     tan_enc = _tangent_encode(s, t, sin_xb, cos_xb).astype(dt)
     h, tn = enc, tan_enc
-    stash = {'trig': (sin_xb, cos_xb), 'enc': enc, 'tan_enc': tan_enc,
-             'h_ins': [], 'tn_ins': [], 'masks': []}
+    # Stash only what the backward reads (trig/tn_ins/masks/tn_last):
+    # stashing the primal layer inputs too would extend their VMEM liveness
+    # across the whole recompute for nothing.
+    stash = {'trig': (sin_xb, cos_xb), 'tn_ins': [], 'masks': []}
     for i in range(s.depth):
         w, b = wbs[i]
-        stash['h_ins'].append(h)
         stash['tn_ins'].append(tn)
         both = jnp.concatenate([h, tn], axis=0)
         pre = jax.lax.dot_general(both, w, (((1,), (0,)), ((), ())),

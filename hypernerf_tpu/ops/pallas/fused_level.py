@@ -474,10 +474,13 @@ def _forward_values(spec: FusedLevelSpec, x_raw, rgbc, alphac, wbs,
         # concatenation bit-identical to the sequential full tile.
         t = x_raw.shape[0]
         h = t // 2
-        # Mosaic sublane slices need 8-row alignment; the interpreter
-        # (CPU tests at tiny tiles) has no such constraint.
-        assert s.interpret or h % 8 == 0, (
-            t, 'interleaved_fwd needs 16-row-aligned tiles')
+        # Mosaic sublane slices need 8-row alignment for BOTH halves, i.e.
+        # t % 16 == 0 (an odd t would start the second half mid-sublane even
+        # when h % 8 == 0); the interpreter (CPU tests at tiny tiles) has no
+        # such constraint. Raise, don't assert: -O must not skip this.
+        if not s.interpret and t % 16 != 0:
+            raise ValueError(
+                f'interleaved_fwd needs 16-row-aligned tiles, got {t}')
 
         def half(lo, hi):
             return _level_fwd_gen(

@@ -2,9 +2,11 @@
 
 Capability parity with /root/reference/hypernerf/model_utils.py:6-41 (coarse)
 and :160-232 (hierarchical), rebuilt for JAX: explicit PRNG keys instead of
-global torch RNG, ``jnp.searchsorted`` + ``take_along_axis`` for the CDF
-inversion (static shapes, fuses under jit), and ``stop_gradient`` on the fine
-z-samples (the reference's ``.detach()`` at model_utils.py:204).
+global torch RNG, a vectorized comparison-mask CDF inversion (masked max/min
+reductions over the (bins, samples) comparison matrix — ``jnp.searchsorted``'s
+binary search + dynamic gathers measured ~30x slower on TPU, BENCHMARKS.md),
+and ``stop_gradient`` on the fine z-samples (the reference's ``.detach()`` at
+model_utils.py:204).
 """
 
 from __future__ import annotations
