@@ -27,7 +27,8 @@ import time
 BASELINE_RAYS_PER_SEC = 4100.0  # 1x 2080Ti, BASELINE.md
 
 MODES = ('flagship', 'se3', 'quaternion', 'anneal', 'occupancy',
-         'static', 'plane', 'elastic', 'render', 'render_occupancy')
+         'static', 'plane', 'elastic', 'elastic_se3', 'elastic_quaternion',
+         'render', 'render_occupancy')
 
 # The reference renders one 504x378 frame through its chunked eval loop in
 # ~30 s on the 2080Ti (190,512 rays / 2048-ray chunks at its ~26k rays/s
@@ -49,6 +50,11 @@ def mode_overrides(mode: str) -> dict:
                     num_coarse_samples=32, num_fine_samples=32)
     if mode == 'elastic':
         return dict(elastic_jacobian_samples=16)
+    if mode == 'elastic_se3':
+        return dict(warp_field_type='se3', elastic_jacobian_samples=16)
+    if mode == 'elastic_quaternion':
+        return dict(warp_field_type='quaternion',
+                    elastic_jacobian_samples=16)
     if mode == 'static':
         return dict(use_warp=False, hyper_slice_method='none')
     if mode == 'plane':
@@ -183,10 +189,12 @@ def main():
     if args.fwd_tile is not None:
         cfg_kwargs['pallas_tile'] = args.fwd_tile
     cfg = NerfConfig(**cfg_kwargs)
-    # elastic: the flagship model + the Nerfies elastic penalty, which adds
-    # the warp-Jacobian side channel (batched pullbacks on the dense warp;
-    # the render itself stays on the fused kernels — models/nerf.py).
-    elastic_w = 0.01 if args.mode == 'elastic' else 0.0
+    # elastic*: the respective warp family + the Nerfies elastic penalty,
+    # which adds the fused warp-Jacobian side channel (stacked forward-mode
+    # tangents — ops/pallas/fused_jacobian.py for the translation warp,
+    # fused_se3_jacobian.py + the XLA retraction JVP for se3/quaternion;
+    # the render itself stays on the fused level kernels — models/nerf.py).
+    elastic_w = 0.01 if args.mode.startswith('elastic') else 0.0
     train_cfg = TrainConfig(batch_size=batch_size, lr=5e-4,
                             elastic_loss_weight=elastic_w)
 

@@ -654,9 +654,9 @@ class NerfModel(nn.Module):
         embed_b = jnp.broadcast_to(
             warp_embed[..., None, :],
             (*points.shape[:-1], warp_embed.shape[-1]))
-        if (cfg.warp_field_type == 'translation'
-                and (jax.default_backend() == 'tpu'
-                     or cfg.pallas_interpret)):
+        backend_ok = (jax.default_backend() == 'tpu'
+                      or cfg.pallas_interpret)
+        if cfg.warp_field_type == 'translation' and backend_ok:
             # Fused path: stacked forward-mode tangents through the warp
             # MLP in one Pallas kernel (ops/pallas/fused_jacobian.py) —
             # replaces the dense 3-pullback side channel that held
@@ -680,6 +680,38 @@ class NerfModel(nn.Module):
                 jac_spec, points, jax.lax.stop_gradient(embed_b),
                 mlp_params_to_list(
                     self.warp_field.variables['params']['mlp']))
+            return
+        if (cfg.warp_field_type in ('se3', 'quaternion') and backend_ok
+                and not self.warp_field.use_posenc_identity):
+            # Fused path for the screw-family warps: primal (w, v) +
+            # stacked point-tangents through the SE(3) trunk/heads in one
+            # kernel (ops/pallas/fused_se3_jacobian.py); the closed-form
+            # retraction is differentiated outside via one vmapped
+            # jax.jvp. Unlike the translation kernel the embed gradient
+            # is NONZERO (the retraction consumes the primal w, v), so
+            # the embed is NOT stopped — exact-gradient parity vs the
+            # dense path: tests/test_fused_se3_jacobian.py.
+            from hypernerf_tpu.ops.pallas.fused_field import encoding_scales
+            from hypernerf_tpu.ops.pallas.fused_se3 import (
+                FusedSE3Spec, se3_params_to_list)
+            from hypernerf_tpu.ops.pallas.fused_se3_jacobian import (
+                fused_se3_warp_jacobian)
+            alpha = extra_params.get('warp_alpha')
+            jac_spec = FusedSE3Spec(
+                embed_ch=cfg.glo_dim, use_metadata=True,
+                min_deg=cfg.warp_min_deg, max_deg=cfg.warp_max_deg,
+                depth=cfg.warp_depth, width=cfg.warp_width,
+                skips=cfg.skips, tile=min(cfg.pallas_tile, 512),
+                bwd_tile=min(cfg.pallas_tile, cfg.pallas_bwd_tile, 256),
+                compute_dtype=cfg.compute_dtype,
+                windowed=alpha is not None,
+                interpret=cfg.pallas_interpret)
+            scales = (encoding_scales(jac_spec.enc_segments, [alpha, None])
+                      if alpha is not None else None)
+            out['warp_jacobian'] = fused_se3_warp_jacobian(
+                jac_spec, points, embed_b,
+                se3_params_to_list(self.warp_field.variables['params']),
+                self.warp_field._retract, enc_scales=scales)
             return
         out['warp_jacobian'] = _warp_jacobian(
             lambda p: self.warp_field.warp(

@@ -88,12 +88,17 @@ def test_fused_model_matches_dense(variant):
 
 
 @pytest.mark.slow
-def test_fused_model_elastic_jacobian_side_channel():
+@pytest.mark.parametrize('warp_type', ['translation', 'se3', 'quaternion'])
+def test_fused_model_elastic_jacobian_side_channel(warp_type):
     """With return_warp_jacobian the render stays fused and the Jacobian
     side channel (models/nerf.py render_samples) matches the dense model's
-    Jacobian at both levels."""
-    dense = _run(_cfg(False), return_warp_jacobian=True)
-    fused = _run(_cfg(True), return_warp_jacobian=True)
+    Jacobian at both levels — for every warp family (translation rides
+    ops/pallas/fused_jacobian.py; se3/quaternion the primal+tangent kernel
+    in ops/pallas/fused_se3_jacobian.py + the XLA retraction JVP)."""
+    dense = _run(_cfg(False, warp_field_type=warp_type),
+                 return_warp_jacobian=True)
+    fused = _run(_cfg(True, warp_field_type=warp_type),
+                 return_warp_jacobian=True)
     for level in ('coarse', 'fine'):
         assert 'warp_jacobian' in fused[level], f'{level} lost the Jacobian'
         jac_f = np.asarray(fused[level]['warp_jacobian'])
