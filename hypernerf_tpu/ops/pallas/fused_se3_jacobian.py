@@ -300,6 +300,17 @@ def _fused_bwd(spec, res, g):
     x_raw, scales, padded_flat = res
     s = spec._replace(tile=spec.bwd_tile or spec.tile)
     p = x_raw.shape[0]
+    if s.tile != spec.tile:
+        # The forward output — and therefore its cotangent — is per-FWD-
+        # tile contiguous: [tile_i: prim(tf) | tan0(tf) | tan1(tf) |
+        # tan2(tf)]. The backward blocks rows in 4*bwd_tile groups and
+        # reads each as [prim(tb) | tan(3tb)], so regroup via stream-major
+        # (4, P, C) — two cheap XLA transposes on (4P, 8) f32. p is
+        # lcm(tile, bwd_tile)-aligned (fused_se3_wv_tangents).
+        g = (g.reshape(p // spec.tile, 4, spec.tile, OUT_PAD)
+              .transpose(1, 0, 2, 3)
+              .reshape(4, p // s.tile, s.tile, OUT_PAD)
+              .transpose(1, 0, 2, 3).reshape(4 * p, OUT_PAD))
     padded_wbs = [(padded_flat[2 * k], padded_flat[2 * k + 1])
                   for k in range(len(padded_flat) // 2)]
     sc_in, sc_specs = fs3._scales_specs(s, scales)

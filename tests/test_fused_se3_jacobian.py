@@ -42,8 +42,8 @@ def _dense_jac(field, wp, pts, embed, extra_params=None):
                               method=field.warp, allow_pallas=False), pts)
 
 
-def _fused_jac(field, wp, pts, embed, alpha=None):
-    spec = SPEC._replace(windowed=alpha is not None)
+def _fused_jac(field, wp, pts, embed, alpha=None, bwd_tile=None):
+    spec = SPEC._replace(windowed=alpha is not None, bwd_tile=bwd_tile)
     scales = (encoding_scales(spec.enc_segments, [alpha, None])
               if alpha is not None else None)
     return fused_se3_warp_jacobian(
@@ -84,10 +84,14 @@ def test_fused_se3_jacobian_windowed():
 
 
 @pytest.mark.parametrize('cls', [SE3Field, QuaternionField])
-def test_fused_se3_jacobian_grads_match_dense(cls):
+@pytest.mark.parametrize('bwd_tile', [None, 4])
+def test_fused_se3_jacobian_grads_match_dense(cls, bwd_tile):
     """d(loss(J))/d(params, points, embed) matches autodiff through the
     dense path — d(embed) is nonzero here (the retraction JVP consumes
-    the primal w, v) and must route through the primal pullback stream."""
+    the primal w, v) and must route through the primal pullback stream.
+
+    bwd_tile=4 != tile=8 covers the cotangent regrouping from per-FWD-tile
+    to per-BWD-tile row layout (the production config runs 512/256)."""
     pts, embed, field, wp = _setup(cls, seed=7)
     tgt = jnp.asarray(np.random.RandomState(5).randn(B, S, 3, 3),
                       jnp.float32)
@@ -97,7 +101,7 @@ def test_fused_se3_jacobian_grads_match_dense(cls):
         return jnp.mean((j - tgt) ** 2) + jnp.mean(jnp.abs(j))
 
     def loss_fused(wp, pts, embed):
-        j = _fused_jac(field, wp, pts, embed)
+        j = _fused_jac(field, wp, pts, embed, bwd_tile=bwd_tile)
         return jnp.mean((j - tgt) ** 2) + jnp.mean(jnp.abs(j))
 
     g_ref = jax.grad(loss_dense, argnums=(0, 1, 2))(wp, pts, embed)

@@ -267,6 +267,71 @@ def main():
               + ('  OK' if ok else '  FAIL'), flush=True)
         failures += 0 if ok else 1
 
+    # Fused SE(3)/quaternion warp-Jacobian (ops/pallas/fused_se3_jacobian.py)
+    # vs the dense batched-VJP path, same protocol. Mid-anneal window (the
+    # repo convention for tight checks — fully-on 2^7 bands are bf16
+    # phase-noise-dominated) plus d(embed), which is NONZERO here.
+    from hypernerf_tpu.models.warping import QuaternionField, SE3Field
+    from hypernerf_tpu.ops.pallas.fused_field import encoding_scales
+    from hypernerf_tpu.ops.pallas.fused_se3 import (FusedSE3Spec,
+                                                    se3_params_to_list)
+    from hypernerf_tpu.ops.pallas.fused_se3_jacobian import (
+        fused_se3_warp_jacobian)
+
+    jalpha = 4.3
+    for cls, name in ((SE3Field, 'se3'), (QuaternionField, 'quaternion')):
+        jfield = cls(trunk_depth=6, trunk_width=128, min_deg=0, max_deg=8,
+                     skips=(4,))
+        jwp2 = jfield.init(jax.random.PRNGKey(2), jpts, jemb)['params']
+
+        def dense_jac2(wp, pts, emb):
+            with jax.default_matmul_precision('highest'):
+                return _warp_jacobian(
+                    lambda p: jfield.apply(
+                        {'params': wp}, p, emb, {'warp_alpha': jalpha},
+                        method=jfield.warp, allow_pallas=False), pts)
+
+        for dt, ftol, gtol in (('float32', 0.02, 0.05),
+                               ('bfloat16', 0.05, 0.2)):
+            jspec2 = FusedSE3Spec(embed_ch=8, min_deg=0, max_deg=8, depth=6,
+                                  width=128, skips=(4,), tile=512,
+                                  bwd_tile=256, windowed=True,
+                                  compute_dtype=dt)
+            jscales = encoding_scales(jspec2.enc_segments, [jalpha, None])
+
+            def fused_jac2(wp, pts, emb):
+                return fused_se3_warp_jacobian(
+                    jspec2, pts, emb, se3_params_to_list(wp),
+                    jfield._retract, enc_scales=jscales)
+
+            jref = np.asarray(jax.device_get(
+                jax.jit(dense_jac2)(jwp2, jpts, jemb)))
+            jgot = np.asarray(jax.device_get(
+                jax.jit(fused_jac2)(jwp2, jpts, jemb)))
+            jerr = np.abs(jgot - jref).max()
+
+            def jloss2(fn):
+                def f(wp, pts, emb):
+                    j = fn(wp, pts, emb)
+                    return jnp.mean(j ** 2) + jnp.mean(jnp.abs(j))
+                return f
+
+            gref = jax.jit(jax.grad(jloss2(dense_jac2),
+                                    argnums=(0, 1, 2)))(jwp2, jpts, jemb)
+            ggot = jax.jit(jax.grad(jloss2(fused_jac2),
+                                    argnums=(0, 1, 2)))(jwp2, jpts, jemb)
+            gref_f = np.asarray(jax.device_get(jnp.concatenate(
+                [g.reshape(-1) for g in jax.tree_util.tree_leaves(gref)])))
+            ggot_f = np.asarray(jax.device_get(jnp.concatenate(
+                [g.reshape(-1) for g in jax.tree_util.tree_leaves(ggot)])))
+            gerr = np.abs(ggot_f - gref_f).max()
+            gscale = max(np.abs(gref_f).max(), 1e-8)
+            ok = jerr < ftol and gerr < gtol * gscale
+            print(f'[{name}-jacobian @{dt}] max |dJ| = {jerr:.2e}'
+                  f'  max |dgrad| = {gerr:.3e} (ref max {gscale:.3e})'
+                  + ('  OK' if ok else '  FAIL'), flush=True)
+            failures += 0 if ok else 1
+
     sys.exit(1 if failures else 0)
 
 
