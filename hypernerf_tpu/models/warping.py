@@ -198,10 +198,19 @@ class SE3Field(nn.Module):
         v = at_least_f32(self.v_net(trunk_output))
         return self._retract(w, v, at_least_f32(points))
 
-    def _retract(self, w, v, points):
-        """Map raw (w, v) head outputs + points to warped points."""
-        transform = rigid_body.exp_se3_from_wv(w, v)
-        return rigid_body.transform_points(transform, points)
+    def _retract(self, w, v, points, axis: int = -1):
+        """Map raw (w, v) head outputs + points to warped points.
+
+        Vector-form screw retraction (``rigid_body.se3_warp_vec``, equal
+        to the exp_se3 matrix path and tested so) — no (..., 4, 4)
+        intermediates, so XLA never lowers batched tiny matmuls.
+        ``axis`` is the component axis: -1 for (..., 3) rows, 0 for
+        component-major (3, N) — the layout the elastic side channel's
+        retraction JVP runs in (full-lane; the row-major matrix path
+        measured ~110 ms/step of 3-lane fusions+copies, BENCHMARKS
+        round 5).
+        """
+        return rigid_body.se3_warp_vec(w, v, points, axis=axis)
 
     def __call__(self, points, embed, extra_params=None,
                  return_jacobian: bool = False):
@@ -225,6 +234,6 @@ class QuaternionField(SE3Field):
     ROADMAP's quaternion-exp warp.
     """
 
-    def _retract(self, w, v, points):
+    def _retract(self, w, v, points, axis: int = -1):
         from hypernerf_tpu.ops import quaternion
-        return quaternion.quat_warp_vec(w, v, points)
+        return quaternion.quat_warp_vec(w, v, points, axis=axis)

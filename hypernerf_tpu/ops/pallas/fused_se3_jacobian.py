@@ -395,24 +395,38 @@ def fused_se3_warp_jacobian(spec: fs3.FusedSE3Spec, points, embed, pairs,
 
     pts (..., 3), embed (..., E) -> (..., 3, 3) with [..., i, k] =
     d warped_i / d points_k (jacrev layout — matches models/warping.py
-    ``_warp_jacobian`` over the dense path). ``retract_fn(w, v, pts)`` is
-    the warp's closed-form retraction (SE3Field/QuaternionField
-    ``_retract``); its point-Jacobian columns come from one vmapped
-    ``jax.jvp`` against the kernel's (dw_k, dv_k, e_k) tangents — tiny
-    (N, 3) math that XLA fuses, differentiable end to end.
+    ``_warp_jacobian`` over the dense path). ``retract_fn(w, v, pts,
+    axis=)`` is the warp's closed-form VECTOR-FORM retraction
+    (SE3Field/QuaternionField ``_retract``), called here with ``axis=0``
+    on component-major (3, N) operands; its point-Jacobian columns come
+    from one vmapped ``jax.jvp`` against the kernel's (dw_k, dv_k, e_k)
+    tangents — full-lane row math, differentiable end to end.
     """
     batch = points.shape[:-1]
     pts = points.reshape(-1, 3).astype(jnp.float32)
     emb = embed.reshape(-1, embed.shape[-1])
     w, v, dw, dv = fused_se3_wv_tangents(spec, pts, emb, pairs,
                                          enc_scales=enc_scales)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype)[:, None, :],
-                           (3, pts.shape[0], 3))
+    # COMPONENT-MAJOR retraction JVP: every operand goes in as (3, N) rows
+    # (tangent stacks (3(k), 3, N)) and retract_fn runs with axis=0, so
+    # the exp-map math — and its vmapped linearization AND the loss's
+    # reverse pass through it — is full-lane (1, N)/(3, N) elementwise.
+    # The row-major path ((N, 3) operands through the (N, 4, 4) matrix
+    # retraction) lowered to ~110 ms/step of 3-lane batched-matmul
+    # fusions and layout copies at the bench config; these five (N, 3)
+    # transposes cost ~1 ms each (BENCHMARKS round 5).
+    wc, vc, pc = w.T, v.T, pts.T                        # (3(i), N)
+    twc = jnp.transpose(dw, (2, 1, 0))                  # (3(k), 3(i), N)
+    tvc = jnp.transpose(dv, (2, 1, 0))
+    eye = jnp.broadcast_to(
+        jnp.eye(3, dtype=pts.dtype)[:, :, None],
+        (3, 3, pts.shape[0]))                           # eye[k, i] = d_ki
     # One vmapped JVP over the 3 coordinate tangents (a leading batch dim
     # on the SAME linearization point).
     cols = jax.vmap(
-        lambda twk, tvk, tpk: jax.jvp(retract_fn, (w, v, pts),
-                                      (twk, tvk, tpk))[1]
-    )(jnp.moveaxis(dw, -1, 0), jnp.moveaxis(dv, -1, 0), eye)
-    jac = jnp.moveaxis(cols, 0, -1)                     # (N, 3(i), 3(k))
+        lambda twk, tvk, tpk: jax.jvp(
+            lambda a, b, p: retract_fn(a, b, p, axis=0),
+            (wc, vc, pc), (twk, tvk, tpk))[1]
+    )(twc, tvc, eye)                                    # (3(k), 3(i), N)
+    jac = jnp.transpose(cols, (2, 1, 0))                # (N, 3(i), 3(k))
     return jac.reshape(*batch, 3, 3)

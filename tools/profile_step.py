@@ -138,7 +138,8 @@ def main():
                          '(bf16 peak via --peak_tflops, default v5e 197)')
     ap.add_argument('--peak_tflops', type=float, default=197.0)
     ap.add_argument('--config', default='flagship',
-                    choices=['flagship', 'se3', 'anneal', 'elastic'])
+                    choices=['flagship', 'se3', 'anneal', 'elastic',
+                             'elastic_se3', 'elastic_quaternion'])
     ap.add_argument('--pipelined_fwd', type=int, choices=(0, 1),
                     default=None,
                     help='override NerfConfig.pallas_pipelined_fwd')
@@ -167,14 +168,16 @@ def main():
     kw = dict(num_embeddings=100, num_coarse_samples=64, num_fine_samples=64,
               use_warp=True, hyper_slice_method='bendy_sheet', noise_std=1.0,
               compute_dtype='bfloat16')
-    if args.config == 'se3':
+    if args.config in ('se3', 'elastic_se3'):
         kw['warp_field_type'] = 'se3'
+    elif args.config == 'elastic_quaternion':
+        kw['warp_field_type'] = 'quaternion'
     else:
         kw['warp_field_type'] = 'translation'
     if args.config == 'anneal':
         kw['use_original_embed'] = False
     elastic_w = 0.0
-    if args.config == 'elastic':
+    if args.config.startswith('elastic'):
         kw['elastic_jacobian_samples'] = 16
         elastic_w = 0.01
     if args.pipelined_fwd is not None:
